@@ -1,0 +1,240 @@
+"""Single-chip jit-compiled APT decode pipeline.
+
+Behavioral contract: reference ``src/decode.rs:43-162`` (``decode()``).
+Stage order and all numeric parameters match; the execution model does
+not: every stage is traced once per (padded-length, rate, profile)
+into one XLA graph with static shapes, so the whole DSP chain —
+polyphase resample -> AM demod -> post-demod FIR -> sync correlation —
+runs as a handful of fused convolutions on the TPU.  Only the greedy
+peak bookkeeping (tiny, adaptive-window-sequential) runs on host.
+
+Static-shape strategy: inputs are zero-padded up to a geometric bucket
+(~12.5% max overhead).  Zero padding is *semantically identical* to the
+reference, which treats out-of-range samples as zero (``dsp.rs:256``),
+and every stage is causal or windowed, so all outputs below the true
+length are unaffected.  True lengths are tracked on host.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import CARRIER_FREQ, FINAL_RATE, PX_PER_ROW, err
+from ..core import Lowpass, LowpassDcRemoval, NoFilter
+from ..core.frequency import Freq, Rate
+from ..core.profiles import DecodeProfile
+from ..ops import demod as dm
+from ..ops import resample as rs
+from ..ops import sync as sy
+
+log = logging.getLogger(__name__)
+
+
+def pad_bucket(n: int, shift: int = 3) -> int:
+    """Round ``n`` up to a coarse geometric bucket (limits jit variants
+    to ~2^shift per octave while wasting at most ~1/2^shift work)."""
+    if n <= 0:
+        return 1
+    g = max(1, 1 << max(0, n.bit_length() - 1 - shift))
+    return -(-n // g) * g
+
+
+def _plan_resample_with_filter(
+    n_in: int, input_rate: Rate, output_rate: Rate, filt
+) -> tuple[Callable[[jnp.ndarray], jnp.ndarray], Callable[[int], int], np.ndarray]:
+    """TPU analog of ``dsp::resample_with_filter`` (``dsp.rs:62-126``).
+
+    Returns (jittable stage fn for padded length ``n_in``, a function
+    mapping a true input length to the true output length, and the
+    designed coefficients for step export).
+    """
+    if output_rate.get_hz() == 0:
+        raise err.InternalError("Can't resample to 0Hz")
+    g = math.gcd(input_rate.get_hz(), output_rate.get_hz())
+    l = output_rate.get_hz() // g
+    m = input_rate.get_hz() // g
+
+    if l > 1:
+        interpolated = input_rate.checked_mul(l)
+        if interpolated is None:
+            raise err.RateOverflowError(
+                "Can't resample, looks like the sample rates do not have a big "
+                f"divisor in common. input_rate: {input_rate.get_hz()}, "
+                f"output_rate: {output_rate.get_hz()}, l: {l}, m: {m}"
+            )
+        coeff = filt.resample(input_rate, interpolated).design()
+        plan = rs.resample_plan(n_in, l, m, coeff)
+        offset = (len(coeff) - 1) // 2
+
+        def out_len(n_true: int) -> int:
+            interp = n_true * l
+            return max(0, -(-(interp - offset) // m)) if interp > offset else 0
+
+        return (lambda x: rs.fast_resample(x, plan)), out_len, coeff
+    else:
+        coeff = filt.design()
+
+        def fn(x):
+            return rs.decimate(rs.causal_filter(x, coeff), m)
+
+        return fn, (lambda n_true: n_true // m), coeff
+
+
+@dataclass
+class DecodeResult:
+    """Raw decoded image data, line by line (``decode.rs:43`` contract:
+    one float sample per pixel at FINAL_RATE)."""
+
+    image: jax.Array  # [n_rows_pad, PX_PER_ROW] float32, device
+    n_rows: int
+    sync_positions: Optional[list[int]]
+
+    def image_np(self) -> np.ndarray:
+        return np.asarray(self.image[: self.n_rows])
+
+    def signal(self) -> np.ndarray:
+        """Flat signal, API-compatible with the reference's return."""
+        return self.image_np().reshape(-1)
+
+
+class Decoder:
+    """Compiles and caches decode graphs per (length-bucket, rate)."""
+
+    def __init__(self, profile: DecodeProfile):
+        if profile.work_rate % FINAL_RATE != 0:
+            raise err.InternalError("work_rate is not multiple of FINAL_RATE")
+        self.profile = profile
+        self.work_rate = Rate(profile.work_rate)
+        self.samples_per_work_row = PX_PER_ROW * profile.work_rate // FINAL_RATE
+        self._stage1: dict = {}
+        self._stage2: dict = {}
+
+    # ------------------------------------------------------------------
+    def _get_stage1(self, n_pad: int, input_rate: Rate, with_corr: bool):
+        key = (n_pad, input_rate.get_hz(), with_corr)
+        if key in self._stage1:
+            return self._stage1[key]
+
+        p = self.profile
+        filt = LowpassDcRemoval(
+            cutout=Freq.hz(p.resample_cutout, input_rate),
+            atten=p.resample_atten,
+            delta_w=Freq.hz(p.resample_delta_freq, input_rate),
+        )
+        res_fn, work_len_fn, _ = _plan_resample_with_filter(
+            n_pad, input_rate, self.work_rate, filt
+        )
+        carrier = Freq.hz(float(CARRIER_FREQ), self.work_rate)
+        # Post-demodulation lowpass (decode.rs:95-102).
+        cutout = Freq.from_pi_rad(
+            np.float32(FINAL_RATE) / np.float32(self.work_rate.get_hz())
+        )
+        demod_coeff = Lowpass(
+            cutout=cutout, atten=p.demodulation_atten, delta_w=cutout / 5.0
+        ).design()
+        template = sy.generate_sync_frame(self.work_rate)
+
+        @jax.jit
+        def stage1(x):
+            y = res_fn(x)
+            d = dm.demodulate(y, carrier)
+            f = rs.causal_filter(d, demod_coeff)
+            if with_corr:
+                return f, sy.sync_correlate(f, template)
+            return f, None
+
+        entry = (stage1, work_len_fn, len(template))
+        self._stage1[key] = entry
+        return entry
+
+    def _get_stage2(self, work_pad: int, n_rows_pad: int):
+        key = (work_pad, n_rows_pad)
+        if key in self._stage2:
+            return self._stage2[key]
+        spr = self.samples_per_work_row
+        m_final = self.work_rate.get_hz() // FINAL_RATE
+
+        @jax.jit
+        def stage2(f, pos):
+            idx = pos[:, None] + jnp.arange(spr, dtype=jnp.int32)[None, :]
+            rows = f[jnp.clip(idx, 0, work_pad - 1)]
+            img = rows[:, ::m_final]
+            # resample work->FINAL via NoFilter takes the causal-filter
+            # path (dsp.rs:105-123) whose `i > j` guard zeroes sample 0.
+            img = img.at[0, 0].set(0.0)
+            return img
+
+        self._stage2[key] = stage2
+        return stage2
+
+    # ------------------------------------------------------------------
+    def decode(
+        self,
+        signal: np.ndarray,
+        input_rate: Rate,
+        sync: bool = True,
+        context=None,
+    ) -> DecodeResult:
+        """Decode an APT recording into raw image rows.
+
+        Mirrors reference ``decode()`` (``decode.rs:43-162``): resample
+        to work rate with DC-removal lowpass, AM-demodulate at 2400 Hz,
+        lowpass, sync-align (or truncate), resample to 4160 Hz.
+        """
+        spr = self.samples_per_work_row
+        n_true = int(signal.shape[0])
+        n_pad = pad_bucket(n_true)
+
+        stage1, work_len_fn, guard_len = self._get_stage1(n_pad, input_rate, sync)
+        work_true = work_len_fn(n_true)
+
+        if context is not None:
+            context.status(
+                0.1, f"Resampling to {self.work_rate.get_hz()}"
+            )
+        if work_true < 10 * spr:
+            raise err.InternalError(
+                "Got less than 10 rows of samples, audio file is too short"
+            )
+
+        x = np.zeros(n_pad, dtype=np.float32)
+        x[:n_true] = signal
+        f_dev, corr_dev = stage1(jnp.asarray(x))
+        work_pad = int(f_dev.shape[0])
+
+        if sync:
+            if context is not None:
+                context.status(0.5, "Syncing")
+            corr = np.asarray(corr_dev[: max(0, work_true - guard_len)])
+            sync_pos = sy.find_sync_peaks(corr, self.work_rate)
+            log.info("Found %d sync frames", len(sync_pos))
+            if len(sync_pos) < 5:
+                raise err.InternalError(
+                    "Found less than 5 sync frames, audio file is too short "
+                    "or too noisy"
+                )
+            rows_pos = [p for p in sync_pos[:-1] if p + spr < work_true]
+        else:
+            if context is not None:
+                context.status(0.5, "Skipping Syncing")
+            sync_pos = None
+            rows_pos = list(range(0, (work_true // spr) * spr, spr))
+
+        if context is not None:
+            context.status(0.90, "Resampling to 4160")
+
+        n_rows = len(rows_pos)
+        n_rows_pad = max(8, pad_bucket(n_rows))
+        pos = np.zeros(n_rows_pad, dtype=np.int32)
+        pos[:n_rows] = rows_pos
+        stage2 = self._get_stage2(work_pad, n_rows_pad)
+        img = stage2(f_dev, jnp.asarray(pos))
+
+        return DecodeResult(image=img, n_rows=n_rows, sync_positions=sync_pos)

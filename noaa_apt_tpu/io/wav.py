@@ -1,0 +1,171 @@
+"""WAV container I/O.
+
+Behavioral contract: reference ``src/wav.rs`` (via the hound crate):
+
+- ``load_wav``: int samples are exposed at their raw integer scale
+  (an i16 sample becomes e.g. -32768..32767 as f32 — *not* normalized),
+  floats pass through; only channel 0 of multichannel files is kept.
+- ``write_wav``: samples are normalized by the (signed) maximum sample
+  before writing as f32 or i16 (``wav.rs:62-98``).
+- The hound "wrong length in header" failure mode
+  (``noaa_apt.rs:114-130``) is handled by reading as many whole frames
+  as the data chunk actually contains.
+
+Implemented directly over the RIFF layout with NumPy (the stdlib
+``wave`` module cannot read float WAVs).
+"""
+
+from __future__ import annotations
+
+import logging
+import struct
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from .. import err
+from ..core.frequency import Rate
+
+log = logging.getLogger(__name__)
+
+_FMT_PCM = 1
+_FMT_FLOAT = 3
+_FMT_EXTENSIBLE = 0xFFFE
+
+
+@dataclass(frozen=True)
+class WavSpec:
+    channels: int
+    sample_rate: int
+    bits_per_sample: int
+    sample_format: str  # "int" | "float"
+
+
+def load_wav(path) -> tuple[np.ndarray, WavSpec]:
+    """Load a WAV file; returns (float32 channel-0 samples, spec)."""
+    path = Path(path)
+    try:
+        raw = path.read_bytes()
+    except OSError as e:
+        raise err.WavOpenError(str(e)) from e
+
+    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise err.WavOpenError(f"{path} is not a RIFF/WAVE file")
+
+    fmt = None
+    data = None
+    off = 12
+    while off + 8 <= len(raw):
+        cid = raw[off : off + 4]
+        (size,) = struct.unpack_from("<I", raw, off + 4)
+        body = raw[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            # Tolerate truncated files whose header claims more data
+            # than exists (the hound issue worked around at
+            # noaa_apt.rs:114-130): take what is actually present.
+            data = raw[off + 8 : off + 8 + size] if off + 8 + size <= len(raw) else raw[off + 8 :]
+        off += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise err.WavOpenError(f"{path}: missing fmt/data chunk")
+
+    (audio_fmt, channels, sample_rate, _brate, _align, bits) = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_fmt == _FMT_EXTENSIBLE and len(fmt) >= 26:
+        (audio_fmt,) = struct.unpack_from("<H", fmt, 24)
+
+    if audio_fmt == _FMT_PCM:
+        sample_format = "int"
+        if bits == 16:
+            arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+        elif bits == 32:
+            arr = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4")
+        elif bits == 8:
+            # 8-bit WAV is unsigned with 128 offset; hound exposes it as
+            # a signed value centered at 0.
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+        elif bits == 24:
+            b = np.frombuffer(data[: len(data) // 3 * 3], dtype=np.uint8).reshape(-1, 3)
+            arr = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            arr = (arr << 8) >> 8  # sign-extend
+        else:
+            raise err.WavOpenError(f"Unsupported PCM bit depth: {bits}")
+    elif audio_fmt == _FMT_FLOAT:
+        sample_format = "float"
+        if bits == 32:
+            arr = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4")
+        elif bits == 64:
+            arr = np.frombuffer(data[: len(data) // 8 * 8], dtype="<f8")
+        else:
+            raise err.WavOpenError(f"Unsupported float bit depth: {bits}")
+    else:
+        raise err.WavOpenError(f"Unsupported WAV format tag: {audio_fmt}")
+
+    if channels < 1:
+        raise err.WavOpenError("WAV has zero channels")
+    if channels != 1:
+        log.warning(
+            "WAV file has %d channels (probably stereo), processing only the first one",
+            channels,
+        )
+        arr = arr[: len(arr) // channels * channels : channels]
+
+    spec = WavSpec(channels, sample_rate, bits, sample_format)
+    return arr.astype(np.float32), spec
+
+
+def write_wav(path, signal: np.ndarray, spec: WavSpec) -> None:
+    """Write a normalized signal (reference ``wav.rs:62-98``)."""
+    signal = np.asarray(signal, dtype=np.float32)
+    if signal.size == 0:
+        raise err.InternalError("Can't get maximum of a zero length vector")
+    mx = np.float32(signal.max())  # signed max, as the reference
+
+    if spec.bits_per_sample == 32 and spec.sample_format == "float":
+        out = (signal / mx).astype("<f4").tobytes()
+        fmt_tag = _FMT_FLOAT
+    elif spec.bits_per_sample == 16 and spec.sample_format == "int":
+        scaled = (signal / mx * np.float32(np.iinfo(np.int16).max)).astype(np.float32)
+        # Rust `as i16` saturates; match that.
+        out = np.clip(np.trunc(scaled), -32768, 32767).astype("<i2").tobytes()
+        fmt_tag = _FMT_PCM
+    else:
+        raise err.InternalError(f"Can't write WAV with spec {spec}")
+
+    channels = 1
+    byte_rate = spec.sample_rate * channels * spec.bits_per_sample // 8
+    block_align = channels * spec.bits_per_sample // 8
+    hdr = b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 36 + len(out)),
+            b"WAVE",
+            b"fmt ",
+            struct.pack(
+                "<IHHIIHH",
+                16,
+                fmt_tag,
+                channels,
+                spec.sample_rate,
+                byte_rate,
+                block_align,
+                spec.bits_per_sample,
+            ),
+            b"data",
+            struct.pack("<I", len(out)),
+        ]
+    )
+    Path(path).write_bytes(hdr + out)
+
+
+def load(path) -> tuple[np.ndarray, Rate]:
+    """Reference ``noaa_apt::load`` (``noaa_apt.rs:114-130``)."""
+    signal, spec = load_wav(path)
+    return signal, Rate(spec.sample_rate)

@@ -1,0 +1,215 @@
+"""L/M polyphase resampling as TPU-friendly convolutions.
+
+Behavioral contract: reference ``src/dsp.rs`` —
+``resample_with_filter`` (``dsp.rs:62-126``), ``fast_resampling``
+(``dsp.rs:186-289``), ``decimate`` (``dsp.rs:294-307``) and ``filter``
+(``dsp.rs:386-410``).
+
+The reference's ``fast_resampling`` is a scalar loop that, for each
+output sample ``k`` (at interpolated-axis position ``t = offset + k*m``),
+accumulates ``coeff[j] * x[(t - offset + j)/l]`` over the ``j`` that are
+congruent to ``p_k = (-k*m) mod l``.  That is exactly a polyphase
+filter bank:
+
+    y[k] = sum_i coeff[p_k + i*l] * x[x0_k + i],   x0_k = (k*m + p_k)//l
+
+and outputs with the same ``k mod l`` share a phase and advance their
+input window by exactly ``m`` samples.  Two TPU mappings are provided,
+both bit-equivalent to the reference up to f32 summation order:
+
+- **packed-kernel conv** (small ``l``): one
+  ``lax.conv_general_dilated`` with ``l`` output features and window
+  stride ``m``; each feature row holds one phase's taps shifted to its
+  input offset.  XLA lowers this onto the MXU.
+- **gather-dot** (large ``l``): gather ``[out_len, T]`` input windows
+  and contract against per-output phase rows of the bank — pure VPU
+  work, avoids materializing mostly-zero packed kernels.
+
+Zero-padding the input is semantically identical to the reference's
+out-of-range skip (``dsp.rs:256-263`` treats missing samples as 0).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ResamplePlan:
+    """Static host-side description of one L/M resample.
+
+    Built once per (signal_len, l, m, coeff) and closed over by the
+    jitted compute path; everything here is a Python int / numpy array.
+    """
+
+    n_in: int
+    l: int
+    m: int
+    out_len: int
+    coeff: tuple  # filter taps as a hashable tuple of float32
+    mode: str  # "conv" | "gather"
+
+    @property
+    def coeff_array(self) -> np.ndarray:
+        return np.asarray(self.coeff, dtype=np.float32)
+
+
+def resample_plan(n_in: int, l: int, m: int, coeff: np.ndarray) -> ResamplePlan:
+    """Compute output length and mapping mode (reference ``dsp.rs:203-234``)."""
+    interpolated_len = n_in * l
+    offset = (len(coeff) - 1) // 2
+    # The reference iterates t = offset, offset+m, ... while t < interpolated_len.
+    out_len = max(0, -(-(interpolated_len - offset) // m)) if interpolated_len > offset else 0
+    t_max = (len(coeff) - 1 - 0) // l + 1  # taps per phase (upper bound)
+    packed_w = m + t_max + 2
+    mode = "conv" if packed_w <= 512 or l <= 64 else "gather"
+    return ResamplePlan(n_in, l, m, out_len, tuple(np.asarray(coeff, np.float32).tolist()), mode)
+
+
+def _phase_tables(plan: ResamplePlan):
+    """Per-phase tap bank and input offsets (host, cached via plan)."""
+    coeff = plan.coeff_array
+    K = coeff.shape[0]
+    l, m = plan.l, plan.m
+    offset = (K - 1) // 2
+    jmax = 2 * offset  # last usable tap index (dsp.rs:254 `n <= t + offset`)
+    t_taps = jmax // l + 1
+    # Phase of output class c (= k mod l) and its first-output input offset.
+    c = np.arange(l, dtype=np.int64)
+    p_c = (-(c * m)) % l
+    s_c = (c * m + p_c) // l
+    # bank[p, i] = coeff[p + i*l], zero past jmax
+    bank = np.zeros((l, t_taps), dtype=np.float32)
+    for p in range(l):
+        js = np.arange(p, jmax + 1, l)
+        bank[p, : js.size] = coeff[js]
+    return p_c, s_c, bank, t_taps, offset
+
+
+def _fast_resample_conv(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndarray:
+    p_c, s_c, bank, t_taps, _ = _phase_tables(plan)
+    l, m, out_len = plan.l, plan.m, plan.out_len
+    n_per_class = -(-out_len // l)  # ceil
+
+    w = int(s_c.max()) + t_taps
+    rhs = np.zeros((l, 1, w), dtype=np.float32)
+    for cc in range(l):
+        rhs[cc, 0, s_c[cc] : s_c[cc] + t_taps] = bank[p_c[cc]]
+
+    # Right-pad x so every window exists; zeros match the reference's
+    # out-of-range skip.
+    need = (n_per_class - 1) * m + w
+    x = jnp.pad(x, (0, max(0, need - plan.n_in)))
+    out = jax.lax.conv_general_dilated(
+        x[None, None, :],
+        jnp.asarray(rhs),
+        window_strides=(m,),
+        padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )[0]
+    # out[c, i] = y[c + i*l]  ->  interleave classes
+    y = out[:, :n_per_class].T.reshape(-1)[:out_len]
+    return y
+
+
+def _fast_resample_gather(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndarray:
+    p_c, s_c, bank, t_taps, _ = _phase_tables(plan)
+    l, m, out_len = plan.l, plan.m, plan.out_len
+    n = plan.n_in
+
+    # Decompose k = c + i*l to stay inside int32: the phase p and input
+    # offset x0 of output k are  p = p_c[c],  x0 = s_c[c] + i*m  (i*m is
+    # bounded by the input length, so no 64-bit products are needed).
+    k = jnp.arange(out_len, dtype=jnp.int32)
+    c = k % l
+    i = k // l
+    p_k = jnp.asarray(p_c.astype(np.int32))[c]
+    x0 = jnp.asarray(s_c.astype(np.int32))[c] + i * m
+    idx = x0[:, None] + jnp.arange(t_taps, dtype=jnp.int32)[None, :]
+    valid = idx < n
+    xw = jnp.where(valid, x[jnp.clip(idx, 0, n - 1)], 0.0)
+    rows = jnp.asarray(bank)[p_k]
+    return jnp.einsum("kt,kt->k", xw, rows, precision=jax.lax.Precision.HIGHEST)
+
+
+@partial(jax.jit, static_argnums=1)
+def fast_resample(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndarray:
+    """Resample ``x`` by ``plan.l / plan.m`` with the planned filter.
+
+    Exact output-sample mapping of reference ``fast_resampling``
+    (``dsp.rs:186-289``); f32 accumulation order differs (tree reduction
+    on TPU vs sequential in the reference).
+    """
+    if plan.out_len == 0:
+        return jnp.zeros((0,), dtype=x.dtype)
+    if plan.mode == "conv":
+        return _fast_resample_conv(x, plan)
+    return _fast_resample_gather(x, plan)
+
+
+@jax.jit
+def causal_filter(x: jnp.ndarray, coeff) -> jnp.ndarray:
+    """The reference's streaming FIR ``dsp::filter`` (``dsp.rs:386-410``).
+
+    ``y[i] = sum_{j < i} coeff[j] * x[i-j]`` — note the strict ``i > j``
+    guard: the ``x[0]`` sample never contributes, and ``y[0] = 0``.
+    Implemented as a causal correlation with the ``x[0]`` contribution
+    subtracted from the first ``K`` outputs.
+    """
+    coeff = jnp.asarray(coeff, jnp.float32)
+    k = coeff.shape[0]
+    y = jax.lax.conv_general_dilated(
+        x[None, None, :],
+        coeff[::-1][None, None, :],
+        window_strides=(1,),
+        padding=[(k - 1, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )[0, 0]
+    # Remove the j == i term: coeff[i] * x[0] for i < K.
+    n = x.shape[0]
+    kk = min(k, n)
+    y = y.at[:kk].add(-coeff[:kk] * x[0])
+    # y[0] is exactly 0 by the i > j guard; force it in case the conv's
+    # fma ordering leaves cancellation residue.
+    return y.at[0].set(0.0)
+
+
+@partial(jax.jit, static_argnums=1)
+def decimate(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Keep every m-th sample (reference ``dsp.rs:294-307``)."""
+    n_out = x.shape[0] // m
+    return x[: n_out * m : m]
+
+
+@partial(jax.jit, static_argnums=1)
+def expanded_filtered(x: jnp.ndarray, l: int, coeff: np.ndarray) -> jnp.ndarray:
+    """Debug-only: the zero-stuffed, filtered signal at the interpolated
+    rate (what ``--export-resample-filtered`` dumps, ``dsp.rs:265-273``).
+
+    ``ef[t] = sum_j coeff[j] * up[t - offset + j]`` for
+    ``t in [offset, n*l)`` — the same windows the resampler evaluates,
+    at stride 1 instead of m, preceded by ``offset`` leading outputs the
+    reference never emits (it starts at ``t = offset``).
+    """
+    coeff = jnp.asarray(coeff, jnp.float32)
+    k = coeff.shape[0]
+    offset = (k - 1) // 2
+    n_interp = x.shape[0] * l
+    out = jax.lax.conv_general_dilated(
+        x[None, None, :],
+        coeff[None, None, :],
+        window_strides=(1,),
+        padding=[(0, offset + (k - 1) + l)],
+        lhs_dilation=(l,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )[0, 0]
+    return out[: max(0, n_interp - offset)]

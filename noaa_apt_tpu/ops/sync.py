@@ -1,0 +1,136 @@
+"""Sync-frame detection: correlation on device, greedy selection on host.
+
+Behavioral contract: reference ``src/decode.rs:164-263``.
+
+- ``generate_sync_frame``: the channel-A sync template (square wave,
+  2-px pulses, values exactly +-1), ``decode.rs:171-199``.
+- ``sync_correlate``: the +-1 cross-correlation over the whole signal
+  (``decode.rs:225-234``) — the reference's hottest loop, here one
+  1-D convolution the TPU chews through in microseconds.
+- ``find_sync_peaks``: the greedy peak bookkeeping
+  (``decode.rs:236-254``).  Its adaptive-window semantics are inherently
+  sequential, but each peak is reachable by "jump to the first argmax of
+  the window after the current peak" — O(rows) tiny-window argmaxes on
+  host instead of an O(N) scalar scan.  ``find_sync_peaks_reference``
+  is the literal transliteration used to cross-check equivalence in
+  tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import FINAL_RATE, PX_PER_ROW
+from ..core.frequency import Rate
+
+
+def generate_sync_frame(work_rate: Rate) -> np.ndarray:
+    """Sync A template at work_rate; int8 values in {-1, +1}."""
+    if work_rate.get_hz() % FINAL_RATE != 0:
+        raise ValueError("work_rate is not multiple of FINAL_RATE")
+    pw = work_rate.get_hz() // FINAL_RATE  # pixel width in samples
+    spw = 2 * pw  # sync pulse width
+    parts = [-np.ones(spw, np.int8)]
+    cycle = np.concatenate([-np.ones(spw, np.int8), np.ones(spw, np.int8)])
+    reps = np.tile(cycle, 8)[: 7 * 2 * spw]
+    parts.append(reps)
+    parts.append(-np.ones(8 * pw, np.int8))
+    return np.concatenate(parts)
+
+
+@partial(jax.jit, static_argnums=2)
+def sync_correlate(signal: jnp.ndarray, template, n_valid: int | None = None) -> jnp.ndarray:
+    """corr[i] = sum_j template[j] * signal[i+j], for i in [0, N - len).
+
+    ``n_valid`` (static) limits the output to the true (pre-padding)
+    signal length; correlations past it would read padded zeros and are
+    never consumed by the greedy selector.
+    """
+    t = jnp.asarray(template, jnp.float32)
+    g = t.shape[0]
+    out = jax.lax.conv_general_dilated(
+        signal[None, None, :],
+        t[None, None, :],
+        window_strides=(1,),
+        padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )[0, 0]
+    # The reference loops i in 0..N-G (decode.rs:225), one fewer than
+    # the number of valid windows — drop the last.
+    out = out[: max(0, signal.shape[0] - g)]
+    if n_valid is not None:
+        out = out[: max(0, n_valid - g)]
+    return out
+
+
+def _row_samples(work_rate_hz: int) -> int:
+    return PX_PER_ROW * work_rate_hz // FINAL_RATE
+
+
+def find_sync_peaks(corr: np.ndarray, work_rate: Rate) -> list[int]:
+    """Greedy peak selection, exactly reference ``decode.rs:236-254``.
+
+    Fast host algorithm: from the current peak ``(p, v)``, repeatedly
+    jump to the first maximum of ``corr[(p, p+md]]`` if it beats ``v``
+    (this reproduces the scalar scan's running-argmax-with-expanding-
+    window endpoint); once no improvement exists within ``md``, the next
+    peak is force-appended at the first index ``i`` with
+    ``i//spr > len(peaks)`` (possibly several copies, as the reference's
+    ``while`` does on long dropouts).
+    """
+    spr = _row_samples(work_rate.get_hz())
+    md = spr * 8 // 10
+    n = corr.shape[0]
+    corr = np.asarray(corr)
+
+    peaks_pos: list[int] = [0]
+    p, v = 0, 0.0
+    while True:
+        # Replacement chain (the `elif corr > last` branch).
+        while True:
+            lo, hi = p + 1, min(p + md + 1, n)
+            if lo >= hi:
+                break
+            w = corr[lo:hi]
+            q = int(np.argmax(w))
+            if w[q] > v:
+                p, v = lo + q, float(w[q])
+                peaks_pos[-1] = p
+            else:
+                break
+        # Forced append (the `if i - last > min_distance` branch).
+        k = len(peaks_pos)
+        i0 = max(p + md + 1, spr * (k + 1))
+        if i0 >= n:
+            break
+        appended = i0 // spr - k
+        if appended <= 0:
+            # Can only happen if p+md+1 has not yet crossed the next row
+            # boundary; wait at the boundary index instead.
+            i0 = spr * (k + 1)
+            if i0 >= n:
+                break
+            appended = i0 // spr - k
+        peaks_pos.extend([i0] * appended)
+        p, v = i0, float(corr[i0])
+    return peaks_pos
+
+
+def find_sync_peaks_reference(corr: np.ndarray, work_rate: Rate) -> list[int]:
+    """Literal transliteration of ``decode.rs:236-254`` (tests only)."""
+    spr = _row_samples(work_rate.get_hz())
+    md = spr * 8 // 10
+    peaks: list[tuple[int, float]] = [(0, 0.0)]
+    for i in range(corr.shape[0]):
+        c = float(corr[i])
+        if i - peaks[-1][0] > md:
+            while i // spr > len(peaks):
+                peaks.append((i, c))
+        elif c > peaks[-1][1]:
+            peaks[-1] = (i, c)
+    return [p for p, _ in peaks]

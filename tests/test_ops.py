@@ -1,0 +1,241 @@
+"""Ops: exactness of the TPU mappings vs literal transliterations of the
+reference loops (fast_resampling, filter, demodulate, find_sync), plus
+the reference's own golden sync-template vectors (``decode.rs:270-319``).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from noaa_apt_tpu.core.frequency import Freq, Rate
+from noaa_apt_tpu.ops import (
+    causal_filter,
+    decimate,
+    demodulate,
+    fast_resample,
+    find_sync_peaks,
+    generate_sync_frame,
+    resample_plan,
+    sync_correlate,
+)
+from noaa_apt_tpu.ops.demod import demod_constants
+from noaa_apt_tpu.ops.resample import expanded_filtered
+from noaa_apt_tpu.ops.sync import find_sync_peaks_reference
+
+
+# ---------------------------------------------------------------------------
+# Literal transliterations of the reference's scalar loops (specs).
+
+
+def naive_fast_resampling(signal, l, m, coeff):
+    """dsp.rs:186-289, literal."""
+    n = len(signal)
+    interp = n * l
+    offset = (len(coeff) - 1) // 2
+    out = []
+    t = offset
+    while t < interp:
+        if t > offset:
+            nn = t - offset
+            r = nn % l
+            if r:
+                nn += l - r
+        else:
+            nn = 0
+        s = np.float32(0.0)
+        x = nn // l
+        while nn <= t + offset:
+            if x < n:
+                s = np.float32(s + np.float32(coeff[nn + offset - t]) * np.float32(signal[x]))
+            x += 1
+            nn += l
+        out.append(s)
+        t += m
+    return np.array(out, np.float32)
+
+
+def naive_filter(signal, coeff):
+    """dsp.rs:386-410, literal (note the strict `i > j` guard)."""
+    n = len(signal)
+    out = np.zeros(n, np.float32)
+    for i in range(n):
+        s = np.float32(0.0)
+        for j in range(len(coeff)):
+            if i > j:
+                s = np.float32(s + signal[i - j] * coeff[j])
+        out[i] = s
+    return out
+
+
+def naive_demodulate(signal, carrier):
+    """dsp.rs:350-383, literal."""
+    cosphi2, sinphi = demod_constants(carrier)
+    out = np.zeros(len(signal), np.float32)
+    prev = signal[0]
+    for i in range(1, len(signal)):
+        curr = signal[i]
+        out[i] = np.sqrt(prev * prev + curr * curr - prev * curr * cosphi2) / sinphi
+        prev = curr
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "l,m,k,n",
+    [
+        (3, 2, 31, 500),
+        (2, 5, 100, 400),  # even-length coeff: last tap unused
+        (26, 100, 501, 5000),  # 48000 -> 12480 shape
+        (832, 735, 1001, 4000),  # 11025 -> 12480 shape (gather mode)
+        (1, 3, 21, 300),
+        (5, 1, 41, 200),
+    ],
+)
+def test_fast_resample_matches_reference(l, m, k, n):
+    rng = np.random.default_rng(1234)
+    x = rng.standard_normal(n).astype(np.float32)
+    coeff = rng.standard_normal(k).astype(np.float32) / k
+
+    expected = naive_fast_resampling(x, l, m, coeff)
+    plan = resample_plan(n, l, m, coeff)
+    got = np.asarray(fast_resample(jnp.asarray(x), plan))
+
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_fast_resample_both_modes_agree():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(2000).astype(np.float32)
+    coeff = rng.standard_normal(301).astype(np.float32) / 301
+    p1 = resample_plan(2000, 26, 100, coeff)
+    for mode in ("conv", "gather"):
+        object.__setattr__(p1, "mode", mode) if False else None
+    import dataclasses
+
+    pc = dataclasses.replace(p1, mode="conv")
+    pg = dataclasses.replace(p1, mode="gather")
+    yc = np.asarray(fast_resample(jnp.asarray(x), pc))
+    yg = np.asarray(fast_resample(jnp.asarray(x), pg))
+    np.testing.assert_allclose(yc, yg, rtol=2e-4, atol=2e-5)
+
+
+def test_fast_resample_coeff_longer_than_signal():
+    # dsp.rs tests: coeffs longer than signal must not blow up.
+    x = np.zeros(100, np.float32)
+    coeff = np.zeros(1000, np.float32)
+    plan = resample_plan(100, 3, 2, coeff)
+    y = np.asarray(fast_resample(jnp.asarray(x), plan))
+    assert y.shape == naive_fast_resampling(x, 3, 2, coeff).shape
+
+
+def test_causal_filter_matches_reference():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(300).astype(np.float32)
+    coeff = rng.standard_normal(37).astype(np.float32) / 6
+    expected = naive_filter(x, coeff)
+    got = np.asarray(causal_filter(jnp.asarray(x), coeff))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+    assert got[0] == 0.0
+
+
+def test_decimate():
+    x = jnp.arange(17, dtype=jnp.float32)
+    assert np.asarray(decimate(x, 3)).tolist() == [0.0, 3.0, 6.0, 9.0, 12.0]
+
+
+def test_demodulate_matches_reference():
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(500).astype(np.float32)
+    carrier = Freq.hz(2400.0, Rate(12480))
+    expected = naive_demodulate(x, carrier)
+    got = np.asarray(demodulate(jnp.asarray(x), carrier))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+    assert got[0] == 0.0
+
+
+def test_expanded_filtered_consistency():
+    # Debug export: stride-1 interpolated output must contain the
+    # resampler's outputs at positions k*m.
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(200).astype(np.float32)
+    coeff = rng.standard_normal(31).astype(np.float32)
+    l, m = 3, 2
+    plan = resample_plan(200, l, m, coeff)
+    y = np.asarray(fast_resample(jnp.asarray(x), plan))
+    ef = np.asarray(expanded_filtered(jnp.asarray(x), l, coeff))
+    np.testing.assert_allclose(ef[:: m][: y.size], y, rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Sync template goldens (decode.rs:270-319).
+
+
+def _golden_sync(pw: int) -> list[int]:
+    """The exact vectors printed in decode.rs:274-318: -1 x 4pw, then
+    six (+1 x 2pw, -1 x 2pw) pairs, a final +1 x 2pw, then -1 x 10pw."""
+    ref = [-1] * 4 * pw
+    for _ in range(6):
+        ref += [1] * 2 * pw + [-1] * 2 * pw
+    ref += [1] * 2 * pw
+    ref += [-1] * 8 * pw
+    return ref
+
+
+def test_sync_frame_golden_5x():
+    got = generate_sync_frame(Rate(4160 * 5)).tolist()
+    assert got == _golden_sync(5)
+    assert len(got) == 38 * 5
+
+
+def test_sync_frame_golden_2x():
+    got = generate_sync_frame(Rate(4160 * 2)).tolist()
+    assert got == _golden_sync(2)
+    assert len(got) == 38 * 2
+
+
+def test_sync_frame_requires_multiple():
+    with pytest.raises(ValueError):
+        generate_sync_frame(Rate(10000))
+
+
+def test_sync_correlate():
+    rng = np.random.default_rng(9)
+    sig = rng.standard_normal(400).astype(np.float32)
+    t = generate_sync_frame(Rate(8320))
+    corr = np.asarray(sync_correlate(jnp.asarray(sig), t))
+    assert corr.shape[0] == 400 - len(t)
+    i = 13
+    np.testing.assert_allclose(
+        corr[i], float(np.sum(t * sig[i : i + len(t)])), rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_find_sync_peaks_matches_reference_scan(seed):
+    rng = np.random.default_rng(seed)
+    wr = Rate(4160 * 2)
+    spr = 2080 * 2
+    n = spr * 7 + rng.integers(0, spr)
+    corr = rng.standard_normal(n).astype(np.float32)
+    # Plant plausible peaks to exercise the replacement chain.
+    for r in range(1, 6):
+        corr[r * spr + rng.integers(-20, 20)] += 50.0
+    fast = find_sync_peaks(corr, wr)
+    ref = find_sync_peaks_reference(corr, wr)
+    assert fast == ref
+
+
+def test_find_sync_peaks_dropout_forced_append():
+    # A long dead (all -inf-ish) region forces synthesized peaks
+    # (decode.rs:244-246).
+    wr = Rate(4160 * 2)
+    spr = 2080 * 2
+    corr = np.full(spr * 10, -1.0, np.float32)
+    corr[10] = 5.0
+    fast = find_sync_peaks(corr, wr)
+    ref = find_sync_peaks_reference(corr, wr)
+    assert fast == ref
