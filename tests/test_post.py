@@ -1,0 +1,195 @@
+"""Post-processing: telemetry golden tests (telemetry.rs:255-348),
+percent bounds (misc.rs:516-543), map_signal_u8 golden
+(noaa_apt.rs:267-281), rotate/equalize/false-color behavior."""
+
+import numpy as np
+import pytest
+
+from noaa_apt_tpu import PX_PER_ROW, PX_PER_CHANNEL
+from noaa_apt_tpu.post.contrast import map_signal_u8, min_max, percent
+from noaa_apt_tpu.post.telemetry import Telemetry, read_telemetry
+from noaa_apt_tpu.post import imageext, processing
+from noaa_apt_tpu.types import ColorSettings
+
+
+def test_map_signal_u8_golden():
+    expected = [0, 0, 0, 0, 1, 2, 50, 120, 200, 255, 255, 255]
+    test_values = np.array(
+        [-10.0, -5.0, -1.0, 0.0, 1.0, 2.4, 50.0, 120.0, 199.6, 255.0, 256.0, 300.0],
+        dtype=np.float32,
+    )
+    shifted = test_values * 123.123 - 234.234
+    low = 0.0 * 123.123 - 234.234
+    high = 255.0 * 123.123 - 234.234
+    assert map_signal_u8(shifted, low, high).tolist() == expected
+
+
+def test_percent_uniform_distribution():
+    signal = np.arange(10000, dtype=np.float32)
+    for value in [1.0, 0.95, 0.90, 0.80, 0.50]:
+        mn, mx = percent(signal, value)
+        remainder = (1.0 - value) / 2.0
+        assert remainder - 0.005 < mn / 10000.0 < remainder + 0.005
+        assert 1 - remainder - 0.005 < mx / 10000.0 < 1 - remainder + 0.005
+
+
+def test_percent_validation():
+    from noaa_apt_tpu.err import InternalError
+
+    with pytest.raises(InternalError):
+        percent(np.zeros(10, np.float32), 1.5)
+
+
+def _sample_wedge():
+    return np.array([1.0, 1.2, 0.8, 1.1, 0.9, 0.7, 1.3, 1.0], dtype=np.float32)
+
+
+def test_telemetry_from_bands():
+    # Port of telemetry.rs:256-311.
+    w = _sample_wedge()
+    factors = [-5234.0] + list(range(1, 17)) + list(range(1, 10)) + [-5234.0]
+    means_a = np.concatenate([w * f for f in factors]).astype(np.float32)
+    means_b = means_a + 1.0
+    t = Telemetry.from_bands(means_a, means_b, row=8)
+    for wedge in range(1, 17):
+        assert t.get_wedge_value(wedge, "a") == pytest.approx(wedge, rel=1e-5)
+        assert t.get_wedge_value(wedge, "b") == pytest.approx(wedge + 1, rel=1e-5)
+        assert t.get_wedge_value(wedge, None) == pytest.approx(wedge + 0.5, rel=1e-5)
+
+
+def test_telemetry_channel_names():
+    # Truth table from telemetry.rs:332-341.
+    sample = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0]
+    cases = [
+        ("1", 1.0, "2", 2.0),
+        ("3a", 3.0, "3b", 6.0),
+        ("4", 4.0, "5", 5.0),
+        ("Unknown", 7.0, "Unknown", 8.0),
+        ("Unknown", 9.0, "Unknown", 1000.0),
+        ("1", 1.4, "2", 1.6),
+        ("3a", 2.6, "3a", 3.4),
+        ("1", -1000.0, "5", 5.4),
+    ]
+    for name_a, val_a, name_b, val_b in cases:
+        t = Telemetry(np.array(sample + [val_a]), np.array(sample + [val_b]))
+        assert t.get_channel_name("a") == name_a, (name_a, val_a)
+        assert t.get_channel_name("b") == name_b, (name_b, val_b)
+
+
+def test_read_telemetry_on_synth():
+    from noaa_apt_tpu.synth import apt_pattern
+
+    # Telemetry frame boundary lands at image row 123; need >= 323 rows
+    # for a full 25-wedge correlation stretch after it.
+    pattern = apt_pattern(n_rows=400, telemetry_start_row=5)
+    tel = read_telemetry(pattern.reshape(-1))
+    # Synth wedge 8 = 255, wedge 9 = 0 (the contrast pair).  The
+    # reference's column window 994..1038 includes the last image pixel
+    # of each channel (telemetry.rs:149-150), so means carry 1/44 of
+    # image contamination — same as the reference.
+    assert tel.get_wedge_value(8, None) == pytest.approx(255.0, abs=4.0)
+    assert tel.get_wedge_value(9, None) == pytest.approx(0.0, abs=4.0)
+    assert tel.get_channel_name("a") == "2"  # synth channel_a_id = 63
+    assert tel.get_channel_name("b") == "4"  # synth channel_b_id = 127
+
+
+def test_read_telemetry_too_short():
+    from noaa_apt_tpu.err import InternalError
+
+    with pytest.raises(InternalError, match="too short"):
+        read_telemetry(np.zeros(PX_PER_ROW * 100, np.float32))
+
+
+def test_rotate_preserves_sync_and_telemetry():
+    img = np.random.default_rng(0).integers(0, 255, (10, PX_PER_ROW, 4), dtype=np.uint8)
+    orig = img.copy()
+    processing.rotate(img)
+    # Sync+space columns untouched
+    np.testing.assert_array_equal(img[:, :86], orig[:, :86])
+    np.testing.assert_array_equal(img[:, 995:1126], orig[:, 995:1126])
+    np.testing.assert_array_equal(img[:, 2035:], orig[:, 2035:])
+    # Image areas are 180-degree rotations
+    np.testing.assert_array_equal(img[:, 86:995], orig[::-1, 994:85:-1])
+    # Double rotation restores
+    processing.rotate(img)
+    np.testing.assert_array_equal(img, orig)
+
+
+def test_equalize_grayscale():
+    rng = np.random.default_rng(1)
+    gray = rng.integers(100, 130, (64, 64), dtype=np.uint8)
+    img = np.stack([gray, gray, gray, np.full_like(gray, 255)], axis=-1)
+    imageext.equalize_histogram_grayscale(img)
+    # Spread should expand toward the full range, alpha untouched
+    assert img[..., 3].min() == 255
+    assert img[..., 0].max() > 200
+    assert (img[..., 0] == img[..., 1]).all() and (img[..., 0] == img[..., 2]).all()
+
+
+def test_lab_roundtrip():
+    rng = np.random.default_rng(2)
+    rgb = rng.integers(0, 256, (50, 3), dtype=np.uint8)
+    back = imageext.lab_to_rgb(imageext.rgb_to_lab(rgb))
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 1
+
+
+def test_lab_reference_values():
+    # Well-known Lab values (CIE, D65, 2 deg observer).
+    lab = imageext.rgb_to_lab(np.array([[255, 255, 255], [0, 0, 0], [255, 0, 0]], np.uint8))
+    assert lab[0, 0] == pytest.approx(100.0, abs=0.1)
+    assert lab[1, 0] == pytest.approx(0.0, abs=0.1)
+    assert lab[2, 0] == pytest.approx(53.23, abs=0.5)
+    assert lab[2, 1] == pytest.approx(80.1, abs=1.0)
+    assert lab[2, 2] == pytest.approx(67.2, abs=1.0)
+
+
+def test_false_color(tmp_path):
+    from PIL import Image
+
+    # Palette: R = x (channel A), G = y (channel B)
+    pal = np.zeros((256, 256, 3), np.uint8)
+    pal[..., 0] = np.arange(256)[None, :]
+    pal[..., 1] = np.arange(256)[:, None]
+    p = tmp_path / "pal.png"
+    Image.fromarray(pal).save(p)
+
+    img = np.zeros((4, PX_PER_ROW, 4), np.uint8)
+    img[..., 3] = 255
+    img[:, 86:995, :3] = 100  # channel A brightness
+    img[:, 86 + PX_PER_CHANNEL : 995 + PX_PER_CHANNEL, :3] = 200  # channel B
+
+    processing.false_color(img, ColorSettings(palette_filename=p))
+    assert (img[:, 86:995, 0] == 100).all()
+    assert (img[:, 86:995, 1] == 200).all()
+    # Outside the channel A image area: unchanged
+    assert (img[:, :86, 0] == 0).all()
+
+
+def test_false_color_bad_palette(tmp_path):
+    from PIL import Image
+    from noaa_apt_tpu.err import InvalidInputError
+
+    p = tmp_path / "bad.png"
+    Image.fromarray(np.zeros((10, 10, 3), np.uint8)).save(p)
+    img = np.zeros((4, PX_PER_ROW, 4), np.uint8)
+    with pytest.raises(InvalidInputError, match="dimensions"):
+        processing.false_color(img, ColorSettings(palette_filename=p))
+    with pytest.raises(InvalidInputError, match="Could not load"):
+        processing.false_color(img, ColorSettings(palette_filename=tmp_path / "nope.png"))
+
+
+def test_process_end_to_end():
+    from noaa_apt_tpu.graph.process import process
+    from noaa_apt_tpu.types import Contrast, Rotate
+
+    rng = np.random.default_rng(3)
+    signal = rng.uniform(0, 1000, PX_PER_ROW * 20).astype(np.float32)
+    img = process(signal, Contrast.from_percent(0.98), Rotate.NO)
+    assert img.shape == (20, PX_PER_ROW, 4)
+    assert img.dtype == np.uint8
+
+    img2 = process(signal, Contrast.minmax(), Rotate.YES)
+    assert img2.shape == (20, PX_PER_ROW, 4)
+
+    img3 = process(signal, Contrast.histogram(), Rotate.NO)
+    assert img3.shape == (20, PX_PER_ROW, 4)
