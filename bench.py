@@ -1,0 +1,77 @@
+"""Benchmark: decode a 10-minute 48 kHz APT pass on real hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline anchor (BASELINE.md): the reference decodes a full pass at
+~13x realtime on a Raspberry Pi (fast profile, ~46 s for a ~10 min
+pass).  APT realtime is 2 lines/s, so value = recorded_seconds /
+wall_seconds on the end-to-end path: WAV samples in host RAM ->
+resample -> demod -> FIR -> sync correlate -> greedy peaks -> row
+gather -> contrast -> u8 image fetched to host.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    t_setup = time.time()
+    from noaa_apt_tpu.core.frequency import Rate
+    from noaa_apt_tpu.core.profiles import STANDARD
+    from noaa_apt_tpu.graph.decode import Decoder
+    from noaa_apt_tpu.graph.process import process
+    from noaa_apt_tpu.synth import synth_recording
+    from noaa_apt_tpu.types import Contrast, Rotate
+
+    n_rows = 1200  # 10-minute pass at 2 lines/s
+    sample_rate = 48000
+    print(f"synthesizing {n_rows}-row pass at {sample_rate} Hz...", file=sys.stderr)
+    signal, _ = synth_recording(n_rows=n_rows, sample_rate=sample_rate, noise_db=15.0)
+    duration_s = n_rows / 2.0
+    rate = Rate(sample_rate)
+
+    dec = Decoder(STANDARD)
+
+    def run():
+        res = dec.decode(signal, rate, sync=True)
+        img = process(res.signal(), Contrast.from_percent(0.98), Rotate.NO)
+        return res, img
+
+    print(f"setup {time.time()-t_setup:.1f}s; warmup (compile)...", file=sys.stderr)
+    t0 = time.time()
+    res, img = run()
+    print(
+        f"warmup {time.time()-t0:.1f}s, rows={res.n_rows}, img={img.shape}",
+        file=sys.stderr,
+    )
+
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        res, img = run()
+        times.append(time.time() - t0)
+        print(f"run {i}: {times[-1]*1e3:.0f} ms", file=sys.stderr)
+
+    wall = min(times)
+    value = duration_s / wall
+    baseline = 13.0  # reference: ~13x realtime (Raspberry Pi, fast profile)
+    print(
+        json.dumps(
+            {
+                "metric": "decode_realtime_factor",
+                "value": round(value, 1),
+                "unit": "x_realtime_10min_48k_pass",
+                "vs_baseline": round(value / baseline, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

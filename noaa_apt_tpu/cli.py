@@ -1,0 +1,254 @@
+"""Command-line interface.
+
+Behavioral contract: reference ``src/main.rs`` + ``src/config.rs``
+(flag set, defaults, mode dispatch, exit codes).  GUI mode maps to an
+error (the TPU build is headless; ``FeatureNotAvailable`` like the
+reference's no-gui builds, ``main.rs:64-71``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from datetime import datetime
+from pathlib import Path
+
+from . import FINAL_RATE, __version__, err
+from .core.frequency import Rate
+from .io import config as cfg
+from .io import misc, wav
+from .io.context import Context
+from .types import ColorSettings, Contrast, MapSettings, OrbitSettings, RefTime, Rotate, SatName
+
+log = logging.getLogger("noaa_apt_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="noaa-apt-tpu",
+        description="Decode NOAA APT images from WAV files (TPU-native engine).",
+    )
+    p.add_argument("input_filename", nargs="?", help="Input WAV file.")
+    p.add_argument("-o", "--output", metavar="FILENAME", help=(
+        "Set output path. When decoding images the default is './output.png', "
+        "when resampling the default is './output.wav'."))
+    p.add_argument("-v", "--version", action="store_true", help="Show version and quit.")
+    p.add_argument("-d", "--debug", action="store_true", help="Print debugging messages.")
+    p.add_argument("-q", "--quiet", action="store_true", help="Don't print info messages.")
+    p.add_argument("-r", "--resample", metavar="SAMPLE_RATE", type=int, help=(
+        "Resample WAV file to a given sample rate, no APT image will be decoded."))
+    p.add_argument("--no-sync", dest="sync", action="store_false", help=(
+        "Disable syncing, useful when the sync frames are noisy."))
+    p.add_argument("-c", "--contrast", metavar="METHOD", help=(
+        'Contrast adjustment method: "98_percent" (default), "telemetry", '
+        '"histogram" or "disable".'))
+    p.add_argument("-s", "--sat", metavar="SATELLITE", help=(
+        'Satellite name: "noaa_15", "noaa_18" or "noaa_19". Default: guessed '
+        "from the filename, else NOAA 19."))
+    p.add_argument("-m", "--map", metavar="MAP_MODE", help='Enable map overlay: "yes" or "no".')
+    p.add_argument("--map-yaw", metavar="YAW", type=float, help="Map yaw correction in degrees. Default: 0.")
+    p.add_argument("--map-hscale", metavar="HSCALE", type=float, help="Horizontal map scale correction. Default: 1.")
+    p.add_argument("--map-vscale", metavar="VSCALE", type=float, help="Vertical map scale correction. Default: 1.")
+    p.add_argument("-R", "--rotate", metavar="METHOD", help=(
+        'Rotate image: "auto", "yes", "no" (default). "auto" uses orbit calculations.'))
+    p.add_argument("-F", "--false-color", action="store_true", help=(
+        "Attempt to produce a colored image."))
+    p.add_argument("-P", "--palette", metavar="PALETTE", help=(
+        "256x256 palette PNG for false color."))
+    p.add_argument("-t", "--start-time", metavar="TIME", help=(
+        "Recording start time, RFC 3339 format."))
+    p.add_argument("-T", "--tle", metavar="FILE", help="Load TLE from path.")
+    p.add_argument("-p", "--profile", metavar="PROFILE", help=(
+        'DSP profile: "standard", "fast" or "slow".'))
+    p.add_argument("--wav-steps", action="store_true", help=(
+        "Export a WAV for every decoding step (debug)."))
+    p.add_argument("--export-resample-filtered", action="store_true", help=(
+        "Export the expanded+filtered resampling step (very expensive)."))
+    p.add_argument("--rotate-image", action="store_true", help="Deprecated. Use --rotate instead.")
+    p.add_argument("--distributed", metavar="N_CHIPS", type=int, default=0, help=(
+        "TPU extension: sequence-shard the decode over N chips."))
+    return p
+
+
+def inner_main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    level = logging.DEBUG if args.debug else (logging.WARNING if args.quiet else logging.INFO)
+    logging.basicConfig(level=level, format="%(levelname)s %(name)s: %(message)s")
+
+    if args.version:
+        print(f"noaa-apt-tpu image decoder version {__version__}")
+        return 0
+
+    de = cfg.load_de_settings()
+    settings = cfg.build_settings(
+        de, args.profile, args.wav_steps, args.export_resample_filtered
+    )
+
+    if args.input_filename is None:
+        raise err.FeatureNotAvailableError(
+            "This TPU build has no GUI; pass an input file or use --help "
+            "to see available options."
+        )
+
+    if args.resample is not None:
+        from .graph import resample_tool
+
+        context = Context.resample(
+            lambda p_, d_: log.info("%s", d_),
+            settings.export_wav,
+            settings.export_resample_filtered,
+        )
+        resample_tool.resample(
+            context, settings, args.input_filename,
+            args.output or "./output.wav", args.resample,
+        )
+        return 0
+
+    # ---- decode mode -------------------------------------------------
+    print(f"noaa-apt-tpu image decoder version {__version__}")
+
+    contrast = {
+        None: Contrast.from_percent(0.98),
+        "98_percent": Contrast.from_percent(0.98),
+        "telemetry": Contrast.telemetry(),
+        "disable": Contrast.minmax(),
+        "histogram": Contrast.histogram(),
+    }.get(args.contrast, "invalid")
+    if contrast == "invalid":
+        print("Invalid contrast adjustment argument")
+        return 0
+
+    if args.rotate_image:
+        rotate = Rotate.YES
+    else:
+        rotate = {None: Rotate.NO, "auto": Rotate.ORBIT, "yes": Rotate.YES, "no": Rotate.NO}.get(
+            args.rotate, "invalid"
+        )
+        if rotate == "invalid":
+            print("Invalid rotate argument")
+            return 0
+
+    color_settings = None
+    if args.false_color:
+        color_settings = ColorSettings(
+            palette_filename=Path(args.palette) if args.palette else settings.default_palette_filename,
+        )
+
+    sat_name = None
+    ref_time = None
+    try:
+        ref_time, sat_name = misc.infer_time_sat(settings, args.input_filename)
+    except err.AptError as e:
+        print(f"Unable to determine satellite name and recording time from filename: {e}")
+
+    if args.sat is not None:
+        try:
+            sat_name = {"noaa_15": SatName.NOAA_15, "noaa_18": SatName.NOAA_18,
+                        "noaa_19": SatName.NOAA_19}[args.sat]
+        except KeyError:
+            print("Invalid provided satellite name")
+            return 0
+
+    custom_tle = None
+    if args.tle is not None:
+        try:
+            custom_tle = Path(args.tle).read_text()
+        except OSError as e:
+            print(f"Could not open custom TLE file: {e}")
+            return 0
+
+    if args.start_time is not None:
+        try:
+            ref_time = RefTime.start(datetime.fromisoformat(args.start_time))
+        except ValueError as e:
+            print(f"Could not parse date and time given: {e}")
+            return 0
+
+    draw_map = None
+    if args.map == "yes":
+        draw_map = MapSettings(
+            yaw=args.map_yaw or 0.0,
+            hscale=args.map_hscale or 1.0,
+            vscale=args.map_vscale or 1.0,
+            countries_color=settings.default_countries_color,
+            states_color=settings.default_states_color,
+            lakes_color=settings.default_lakes_color,
+        )
+    elif args.map not in (None, "no"):
+        print("Invalid map argument")
+        return 0
+
+    orbit_settings = None
+    if sat_name is not None and ref_time is not None:
+        orbit_settings = OrbitSettings(
+            sat_name=sat_name, custom_tle=custom_tle,
+            ref_time=ref_time, draw_map=draw_map,
+        )
+    if sat_name is None or ref_time is None:
+        if rotate == Rotate.ORBIT:
+            print("Can't rotate automatically if no satellite and time is provided")
+            return 0
+        if draw_map is not None:
+            print("Can't draw map if no satellite and time is provided")
+            return 0
+
+    if not args.sync and contrast.kind.value in ("telemetry", "histogram"):
+        log.warning("Adjusting contrast without syncing, expect horrible results!")
+
+    context = Context.decode(
+        lambda p_, d_: log.info("%s", d_),
+        Rate(settings.work_rate),
+        Rate(FINAL_RATE),
+        settings.export_wav,
+        settings.export_resample_filtered,
+    )
+
+    signal, rate = wav.load(args.input_filename)
+    profile = settings.profile()
+
+    if settings.export_wav:
+        # Step-export path runs the eager stage-by-stage pipeline.
+        from .graph.debug import decode_with_steps
+
+        raw = decode_with_steps(context, profile, signal, rate, args.sync)
+    elif args.distributed and args.distributed > 1:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from .parallel import ShardedDecoder
+
+        mesh = Mesh(np.array(jax.devices()[: args.distributed]), ("seq",))
+        res = ShardedDecoder(profile, mesh).decode(signal, rate, args.sync, context)
+        raw = res.signal()
+    else:
+        from .graph.decode import Decoder
+
+        res = Decoder(profile).decode(signal, rate, args.sync, context)
+        raw = res.signal()
+
+    from .graph.process import process
+
+    img = process(raw, contrast, rotate, color_settings, orbit_settings, context)
+
+    from PIL import Image
+
+    out = args.output or "./output.png"
+    Image.fromarray(img).save(out)
+    log.info("Saved %s", out)
+    return 0
+
+
+def main() -> None:
+    try:
+        code = inner_main()
+    except err.AptError as e:
+        log.error("%s", e)
+        code = 1
+    sys.exit(code)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,12 +60,17 @@ class ResamplePlan:
         return np.asarray(self.coeff, dtype=np.float32)
 
 
-def resample_plan(n_in: int, l: int, m: int, coeff: np.ndarray) -> ResamplePlan:
-    """Compute output length and mapping mode (reference ``dsp.rs:203-234``)."""
+def resample_plan(n_in: int, l: int, m: int, coeff: np.ndarray, out_len: int | None = None) -> ResamplePlan:
+    """Compute output length and mapping mode (reference ``dsp.rs:203-234``).
+
+    ``out_len`` overrides the derived length (used by the sharded path,
+    where each device computes a phase-aligned window of outputs).
+    """
     interpolated_len = n_in * l
     offset = (len(coeff) - 1) // 2
-    # The reference iterates t = offset, offset+m, ... while t < interpolated_len.
-    out_len = max(0, -(-(interpolated_len - offset) // m)) if interpolated_len > offset else 0
+    if out_len is None:
+        # The reference iterates t = offset, offset+m, ... while t < interpolated_len.
+        out_len = max(0, -(-(interpolated_len - offset) // m)) if interpolated_len > offset else 0
     t_max = (len(coeff) - 1 - 0) // l + 1  # taps per phase (upper bound)
     packed_w = m + t_max + 2
     mode = "conv" if packed_w <= 512 or l <= 64 else "gather"

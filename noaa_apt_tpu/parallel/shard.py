@@ -1,0 +1,292 @@
+"""Multi-chip decode: sequence sharding with ring halo exchange.
+
+The reference is single-threaded over one in-RAM Vec (SURVEY.md
+section 2.2/5.7) — this module is the TPU re-architecture it cannot do:
+
+- **Sequence parallelism (SP)** over a ``Mesh("seq")``: the recording's
+  time axis is split into per-device chunks.  FIR/resample windows and
+  the sync-correlation guard need neighbor context, exchanged as
+  fixed-width boundary tails via ``jax.lax.ppermute`` (a ring halo —
+  the moral analog of ring attention for chunked convolution).
+- **Data parallelism (DP)**: a batch of recordings shards over a
+  ``"data"`` axis (BASELINE config 5: fleets of passes per host).
+
+Exactness: chunk boundaries are phase-aligned to the polyphase
+decimator (per-device output count W is a multiple of the interpolation
+factor l), so every device evaluates exactly the same input windows the
+single-chip graph does; halo masking reproduces the global zero-padding
+at the recording edges.  The sharded decode is bit-identical to
+single-chip (tested in tests/test_parallel.py), which replaces the
+reference's nonexistent distributed tests.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import CARRIER_FREQ, FINAL_RATE, PX_PER_ROW, err
+from ..core import Lowpass, LowpassDcRemoval
+from ..core.frequency import Freq, Rate
+from ..core.profiles import DecodeProfile
+from ..graph.decode import DecodeResult, Decoder, pad_bucket
+from ..ops import demod as dm
+from ..ops import resample as rs
+from ..ops import sync as sy
+from ..ops.resample import _phase_tables
+
+log = logging.getLogger(__name__)
+
+
+def _ceil_to(x: int, q: int) -> int:
+    return -(-x // q) * q
+
+
+class ShardedDecoder(Decoder):
+    """Decode one long recording across a device mesh (time-sharded).
+
+    Drop-in for :class:`Decoder`; stage 1 (resample/demod/FIR/corr)
+    runs under ``shard_map`` over ``mesh`` axis ``"seq"``; greedy sync
+    selection stays on host; row gather runs GSPMD-sharded.
+    """
+
+    def __init__(self, profile: DecodeProfile, mesh: Mesh, axis: str = "seq"):
+        super().__init__(profile)
+        self.mesh = mesh
+        self.axis = axis
+        self.n_dev = mesh.shape[axis]
+
+    # -- geometry ------------------------------------------------------
+    def _geometry(self, n_true: int, input_rate: Rate):
+        g = math.gcd(input_rate.get_hz(), self.work_rate.get_hz())
+        l = self.work_rate.get_hz() // g
+        m = input_rate.get_hz() // g
+        d = self.n_dev
+        # Per-device work-output count W: multiple of l so every chunk
+        # shares the polyphase phase pattern; input chunk Ci = W*m/l.
+        # +l margin guarantees n_pad = D*Ci >= n_true after rounding.
+        out_needed = pad_bucket(max(1, -(-n_true * l // m)) + l)
+        w = _ceil_to(_ceil_to(out_needed, d) // d, l)
+        ci = w * m // l
+        n_pad = d * ci
+        return l, m, d, w, ci, n_pad
+
+    def _get_stage1_sharded(self, n_true_key: int, input_rate: Rate):
+        key = ("sharded", n_true_key, input_rate.get_hz())
+        if key in self._stage1:
+            return self._stage1[key]
+
+        p = self.profile
+        l, m, d, w, ci, n_pad = self._geometry(n_true_key, input_rate)
+        if l == 1:
+            # Decimation-only path shards trivially; reuse single-chip
+            # logic per chunk with a K-sample left halo.
+            raise err.InternalError(
+                "Sequence-sharded decode currently requires interpolation (l > 1); "
+                f"input rate {input_rate.get_hz()} is a multiple of the work rate"
+            )
+
+        interpolated = input_rate.checked_mul(l)
+        if interpolated is None:
+            raise err.RateOverflowError("interpolated rate overflows u32")
+        filt = LowpassDcRemoval(
+            cutout=Freq.hz(p.resample_cutout, input_rate),
+            atten=p.resample_atten,
+            delta_w=Freq.hz(p.resample_delta_freq, input_rate),
+        )
+        coeff = filt.resample(input_rate, interpolated).design()
+
+        carrier = Freq.hz(float(CARRIER_FREQ), self.work_rate)
+        cutout = Freq.from_pi_rad(
+            np.float32(FINAL_RATE) / np.float32(self.work_rate.get_hz())
+        )
+        demod_coeff = Lowpass(
+            cutout=cutout, atten=p.demodulation_atten, delta_w=cutout / 5.0
+        ).design()
+        template = sy.generate_sync_frame(self.work_rate)
+
+        k_d = len(demod_coeff)
+        guard = len(template)
+        # Work-domain contexts, rounded to phase multiples of l.
+        l_ctx = _ceil_to(k_d + 1, l)
+        g_ctx = _ceil_to(guard, l)
+        # Input-domain halos.
+        _, s_c, _, t_taps, _ = _phase_tables(rs.resample_plan(8 * l, l, m, coeff))
+        l_in = l_ctx * m // l
+        r_in = g_ctx * m // l + int(s_c.max()) + t_taps + 1
+        if max(l_in, r_in) > ci:
+            raise err.InternalError(
+                f"Chunk too small for halo exchange: Ci={ci}, halo={max(l_in, r_in)}; "
+                "use fewer devices or a longer recording"
+            )
+        ext_n = l_in + ci + r_in
+        ext_out = l_ctx + w + g_ctx
+        plan = rs.resample_plan(ext_n, l, m, coeff, out_len=ext_out)
+        cosphi2, sinphi = dm.demod_constants(carrier)
+        dcoeff = jnp.asarray(demod_coeff)
+        tmpl = jnp.asarray(template.astype(np.float32))
+        axis = self.axis
+
+        def shard_fn(x_chunk):  # [1?, Ci] -> per-device chunk
+            x_chunk = x_chunk.reshape(ci)
+            idx = jax.lax.axis_index(axis)
+            nd = jax.lax.axis_size(axis)
+            # Ring halo exchange of boundary tails (ICI neighbors).
+            left = jax.lax.ppermute(
+                x_chunk[-l_in:], axis, [(i, (i + 1) % nd) for i in range(nd)]
+            )
+            right = jax.lax.ppermute(
+                x_chunk[:r_in], axis, [(i, (i - 1) % nd) for i in range(nd)]
+            )
+            # Global edges: the recording is zero-padded outside [0, N).
+            left = jnp.where(idx == 0, 0.0, left)
+            right = jnp.where(idx == nd - 1, 0.0, right)
+            ext = jnp.concatenate([left, x_chunk, right])
+
+            y = rs.fast_resample(ext, plan)  # work samples [dW-Lctx, (d+1)W+Gctx)
+            # Work samples before global 0 do not exist single-chip (the
+            # FIR sees zero-padding there); device 0 must zero them even
+            # though their windows touch real samples near the boundary.
+            y = jnp.where((idx == 0) & (jnp.arange(ext_out) < l_ctx), 0.0, y)
+            # AM demod (dsp.rs:350-383); position 0 of ext lacks a
+            # predecessor but lies deep in discarded context.
+            prev = y[:-1]
+            curr = y[1:]
+            dem = jnp.sqrt(jnp.maximum(prev * prev + curr * curr - prev * curr * cosphi2, 0.0)) / sinphi
+            dem = jnp.concatenate([jnp.zeros((1,), y.dtype), dem])
+            # Global demod[0] = 0 lives at ext position l_ctx on device 0.
+            dem = jnp.where(
+                (idx == 0) & (jnp.arange(ext_out) == l_ctx), 0.0, dem
+            )
+            f = rs.causal_filter(dem, dcoeff)
+            f_seg = f[l_ctx : l_ctx + w]
+            fc = f[l_ctx : l_ctx + w + g_ctx]
+            corr = jax.lax.conv_general_dilated(
+                fc[None, None, :],
+                tmpl[None, None, :],
+                window_strides=(1,),
+                padding=[(0, 0)],
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                precision=jax.lax.Precision.HIGHEST,
+            )[0, 0][:w]
+            return f_seg[None], corr[None]
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=P(axis),
+            out_specs=(P(axis), P(axis)),
+        )
+
+        @jax.jit
+        def stage1(x):  # [n_pad] sharded over seq
+            f, corr = mapped(x.reshape(d, ci))
+            return f.reshape(-1), corr.reshape(-1)
+
+        def work_len_fn(n_true: int) -> int:
+            interp = n_true * l
+            offset = (len(coeff) - 1) // 2
+            return max(0, -(-(interp - offset) // m)) if interp > offset else 0
+
+        entry = (stage1, work_len_fn, guard, n_pad, d * w)
+        self._stage1[key] = entry
+        return entry
+
+    # ------------------------------------------------------------------
+    def decode(self, signal: np.ndarray, input_rate: Rate, sync: bool = True, context=None) -> DecodeResult:
+        spr = self.samples_per_work_row
+        n_true = int(signal.shape[0])
+        # Key geometry off the padded bucket so recompiles stay bounded.
+        stage1, work_len_fn, guard, n_pad, work_pad = self._get_stage1_sharded(
+            pad_bucket(n_true), input_rate
+        )
+        work_true = work_len_fn(n_true)
+        if work_true < 10 * spr:
+            raise err.InternalError(
+                "Got less than 10 rows of samples, audio file is too short"
+            )
+        if n_pad < n_true or work_pad < work_true:
+            raise err.InternalError("Sharded geometry smaller than recording")
+
+        x = np.zeros(n_pad, dtype=np.float32)
+        x[:n_true] = signal
+        sharding = NamedSharding(self.mesh, P(self.axis))
+        x_dev = jax.device_put(jnp.asarray(x), sharding)
+        f_dev, corr_dev = stage1(x_dev)
+
+        if sync:
+            corr = np.asarray(corr_dev[: max(0, work_true - guard)])
+            sync_pos = sy.find_sync_peaks(corr, self.work_rate)
+            log.info("Found %d sync frames", len(sync_pos))
+            if len(sync_pos) < 5:
+                raise err.InternalError(
+                    "Found less than 5 sync frames, audio file is too short or too noisy"
+                )
+            rows_pos = [p for p in sync_pos[:-1] if p + spr < work_true]
+        else:
+            sync_pos = None
+            rows_pos = list(range(0, (work_true // spr) * spr, spr))
+
+        n_rows = len(rows_pos)
+        n_rows_pad = max(8, pad_bucket(n_rows))
+        pos = np.zeros(n_rows_pad, dtype=np.int32)
+        pos[:n_rows] = rows_pos
+        stage2 = self._get_stage2(int(f_dev.shape[0]), n_rows_pad)
+        img = stage2(f_dev, jnp.asarray(pos))
+        return DecodeResult(image=img, n_rows=n_rows, sync_positions=sync_pos)
+
+
+def batch_decode(
+    decoder: Decoder,
+    signals: np.ndarray,
+    input_rate: Rate,
+    mesh: Mesh,
+    axis: str = "data",
+    sync: bool = True,
+) -> list[DecodeResult]:
+    """Data-parallel fleet decode: ``signals`` is [B, N] (equal-length
+    recordings, e.g. one batch of passes per host); stage 1 runs as one
+    vmapped, batch-sharded graph, per-recording sync selection and row
+    gather follow on host/device.
+    """
+    b, n_true = signals.shape
+    n_pad = pad_bucket(n_true)
+    stage1, work_len_fn, guard = decoder._get_stage1(n_pad, input_rate, sync)
+    work_true = work_len_fn(n_true)
+    spr = decoder.samples_per_work_row
+    if work_true < 10 * spr:
+        raise err.InternalError("Got less than 10 rows of samples, audio file is too short")
+
+    x = np.zeros((b, n_pad), dtype=np.float32)
+    x[:, :n_true] = signals
+    sharding = NamedSharding(mesh, P(axis, None))
+    x_dev = jax.device_put(jnp.asarray(x), sharding)
+
+    vstage1 = jax.jit(jax.vmap(stage1))
+    f_dev, corr_dev = vstage1(x_dev)
+
+    results = []
+    for i in range(b):
+        if sync:
+            corr = np.asarray(corr_dev[i, : max(0, work_true - guard)])
+            sync_pos = sy.find_sync_peaks(corr, decoder.work_rate)
+            if len(sync_pos) < 5:
+                raise err.InternalError("Found less than 5 sync frames")
+            rows_pos = [p for p in sync_pos[:-1] if p + spr < work_true]
+        else:
+            sync_pos = None
+            rows_pos = list(range(0, (work_true // spr) * spr, spr))
+        n_rows = len(rows_pos)
+        n_rows_pad = max(8, pad_bucket(n_rows))
+        pos = np.zeros(n_rows_pad, dtype=np.int32)
+        pos[:n_rows] = rows_pos
+        stage2 = decoder._get_stage2(int(f_dev.shape[1]), n_rows_pad)
+        img = stage2(f_dev[i], jnp.asarray(pos))
+        results.append(DecodeResult(image=img, n_rows=n_rows, sync_positions=sync_pos))
+    return results

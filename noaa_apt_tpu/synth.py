@@ -134,8 +134,9 @@ def synth_recording(
     n_rows: int = 128,
     sample_rate: int = 11025,
     noise_db: float | None = None,
+    seed: int = 0,
     **kwargs,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Convenience: (signal at sample_rate, ground-truth pattern)."""
     pattern = apt_pattern(n_rows, **kwargs)
-    return modulate(pattern, sample_rate, noise_db=noise_db), pattern
+    return modulate(pattern, sample_rate, noise_db=noise_db, seed=seed), pattern

@@ -1,0 +1,82 @@
+"""Multi-chip decode tests: the sharded pipeline must reproduce the
+single-chip pipeline exactly (SURVEY.md section 4 implication (e) —
+replaces the reference's nonexistent distributed tests)."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from noaa_apt_tpu.core.frequency import Rate
+from noaa_apt_tpu.core.profiles import STANDARD
+from noaa_apt_tpu.graph.decode import Decoder
+from noaa_apt_tpu.parallel import ShardedDecoder, batch_decode
+from noaa_apt_tpu.synth import synth_recording
+
+
+def _mesh(n, axis="seq"):
+    return Mesh(np.array(jax.devices()[:n]), (axis,))
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_equals_single_chip(n_dev):
+    signal, _ = synth_recording(n_rows=48, sample_rate=11025, noise_db=15.0)
+    rate = Rate(11025)
+
+    single = Decoder(STANDARD).decode(signal, rate)
+    sharded = ShardedDecoder(STANDARD, _mesh(n_dev)).decode(signal, rate)
+
+    # Bit-exact sync positions (the BASELINE north-star requirement).
+    assert sharded.sync_positions == single.sync_positions
+    assert sharded.n_rows == single.n_rows
+    a, b = single.image_np(), sharded.image_np()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_no_sync():
+    signal, _ = synth_recording(n_rows=24, sample_rate=11025)
+    rate = Rate(11025)
+    single = Decoder(STANDARD).decode(signal, rate, sync=False)
+    sharded = ShardedDecoder(STANDARD, _mesh(4)).decode(signal, rate, sync=False)
+    np.testing.assert_array_equal(single.image_np(), sharded.image_np())
+
+
+def test_batch_decode_matches_loop():
+    rate = Rate(11025)
+    sigs = []
+    for seed in range(4):
+        s, _ = synth_recording(n_rows=24, sample_rate=11025, noise_db=12.0, seed=seed)
+        sigs.append(s)
+    batch = np.stack(sigs)
+
+    dec = Decoder(STANDARD)
+    singles = [dec.decode(s, rate) for s in sigs]
+    mesh = _mesh(4, axis="data")
+    results = batch_decode(dec, batch, rate, mesh)
+
+    for s, r in zip(singles, results):
+        assert s.sync_positions == r.sync_positions
+        np.testing.assert_array_equal(s.image_np(), r.image_np())
+
+
+def test_sharded_2d_mesh_data_and_seq():
+    """DP x SP: two recordings, each time-sharded over 4 devices."""
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "seq"))
+    rate = Rate(11025)
+    s0, _ = synth_recording(n_rows=24, sample_rate=11025, seed=1)
+    s1, _ = synth_recording(n_rows=24, sample_rate=11025, seed=2)
+
+    dec = Decoder(STANDARD)
+    expected = [dec.decode(s, rate) for s in (s0, s1)]
+
+    # Sequence-shard each recording on its row of the mesh by reusing
+    # the seq axis of the 2-D mesh.
+    sdec = ShardedDecoder(STANDARD, mesh, axis="seq")
+    # Decode both (the data axis is exercised by batch_decode; here we
+    # check seq sharding composes with a 2-D mesh).
+    for s, exp in zip((s0, s1), expected):
+        got = sdec.decode(s, rate)
+        assert got.sync_positions == exp.sync_positions
+        np.testing.assert_array_equal(got.image_np(), exp.image_np())
