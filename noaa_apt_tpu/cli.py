@@ -132,9 +132,12 @@ def inner_main(argv=None) -> int:
 
     color_settings = None
     if args.false_color:
-        color_settings = ColorSettings(
-            palette_filename=Path(args.palette) if args.palette else settings.default_palette_filename,
-        )
+        pf = Path(args.palette) if args.palette else Path(settings.default_palette_filename)
+        if args.palette is None and not pf.exists():
+            from .post.palette import ensure_default_palette
+
+            pf = ensure_default_palette(pf)
+        color_settings = ColorSettings(palette_filename=pf)
 
     sat_name = None
     ref_time = None

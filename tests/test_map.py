@@ -1,0 +1,141 @@
+"""Map overlay: shapefile round-trip, Xiaolin-Wu coverage, projected
+overlay drawing on a synthetic pass, pass-direction rotation, palette
+generation."""
+
+import math
+from datetime import datetime, timezone
+
+import numpy as np
+import pytest
+
+from noaa_apt_tpu import PX_PER_ROW
+from noaa_apt_tpu.geo import shapefile as shp
+from noaa_apt_tpu.geo import sgp4 as sg
+from noaa_apt_tpu.geo.map_overlay import draw_map, xiaolin_wu
+from noaa_apt_tpu.geo.orbit import south_to_north_pass
+from noaa_apt_tpu.types import MapSettings, OrbitSettings, RefTime, SatName
+
+from test_geo import TEST_TLE
+
+
+def test_shapefile_roundtrip(tmp_path):
+    parts = [
+        np.array([[0.0, 0.0], [10.0, 5.0], [20.0, -5.0]]),
+        np.array([[-30.0, 40.0], [-31.0, 41.0]]),
+    ]
+    p = tmp_path / "test.shp"
+    shp.write_parts(p, parts, shp.SHAPE_POLYLINE)
+    back = shp.read_parts(p)
+    assert len(back) == 2
+    np.testing.assert_allclose(back[0], parts[0])
+    np.testing.assert_allclose(back[1], parts[1])
+
+
+def test_shapefile_errors(tmp_path):
+    from noaa_apt_tpu.err import InternalError
+
+    with pytest.raises(InternalError, match="Could not load"):
+        shp.read_parts(tmp_path / "missing.shp")
+    bad = tmp_path / "bad.shp"
+    bad.write_bytes(b"x" * 200)
+    with pytest.raises(InternalError, match="Could not load"):
+        shp.read_parts(bad)
+
+
+def test_xiaolin_wu_basic():
+    pts = xiaolin_wu((0.0, 0.0), (10.0, 3.0))
+    assert all(0.0 <= v <= 1.0 for _, v in pts)
+    xs = [p[0] for p, _ in pts]
+    assert min(xs) == 0 and max(xs) == 10
+    # A horizontal integer line has full coverage on the main pixels.
+    pts = dict()
+    for (x, y), v in xiaolin_wu((0.0, 5.0), (4.0, 5.0)):
+        pts[(x, y)] = pts.get((x, y), 0) + v
+    for x in range(1, 4):
+        assert pts.get((x, 5), 0) == pytest.approx(1.0)
+
+
+def test_draw_map_on_synthetic_pass(tmp_path, monkeypatch):
+    """Draw a graticule-ish shapefile under the real projection and
+    check ink lands in both channel image areas."""
+    monkeypatch.setenv("NOAA_APT_RES_DIR", str(tmp_path))
+    (tmp_path / "shapefiles").mkdir()
+
+    sats = sg.parse_tle(TEST_TLE)
+    sat = sg.find_satellite(sats, "NOAA 19")
+    t0 = datetime.fromtimestamp(1580000000, tz=timezone.utc)
+
+    # Build a lat/lon grid around the sub-satellite track so lines
+    # definitely cross the swath.
+    height = 200
+    from noaa_apt_tpu.geo.orbit import ground_track
+
+    track = ground_track(sat, RefTime.start(t0), height)
+    lats = [p[0] * 180 / math.pi for p in track]
+    lons = [p[1] * 180 / math.pi for p in track]
+    parts = []
+    for dlon in (-3, 0, 3):
+        parts.append(np.array([[lons[i] + dlon, lats[i]] for i in range(0, height, 5)]))
+    for i in range(0, height, 40):
+        parts.append(np.array([[lons[i] - 5, lats[i]], [lons[i] + 5, lats[i]]]))
+    shp.write_parts(tmp_path / "shapefiles" / "countries.shp", parts, shp.SHAPE_POLYGON)
+
+    img = np.zeros((height, PX_PER_ROW, 4), np.uint8)
+    img[..., 3] = 255
+    draw_map(
+        img,
+        RefTime.start(t0),
+        MapSettings(countries_color=(255, 255, 0, 255)),
+        SatName.NOAA_19,
+        TEST_TLE,
+    )
+    # Ink must appear in both channels, nowhere else.
+    a_ink = (img[:, 539 - 456 : 539 + 456, 0] > 0).sum()
+    b_ink = (img[:, 1579 - 456 : 1579 + 456, 0] > 0).sum()
+    assert a_ink > 100
+    assert b_ink > 100
+    outside = img[:, : 539 - 456, 0].sum() + img[:, 1579 + 456 :, 0].sum()
+    assert outside == 0
+
+
+def test_draw_map_missing_shapefiles_warns(tmp_path, monkeypatch, caplog):
+    monkeypatch.setenv("NOAA_APT_RES_DIR", str(tmp_path / "nores"))
+    img = np.zeros((20, PX_PER_ROW, 4), np.uint8)
+    t0 = datetime.fromtimestamp(1580000000, tz=timezone.utc)
+    draw_map(img, RefTime.start(t0), MapSettings(), SatName.NOAA_19, TEST_TLE)
+    assert img[..., :3].sum() == 0  # nothing drawn, no crash
+
+
+def test_south_to_north_pass_reference_semantics():
+    """The reference's condition (processing.rs:80) is true whenever the
+    2-second azimuth has a westward component — which, NOAA orbits being
+    retrograde, is every pass.  Pin that exact behavior."""
+    for ts in (1580000000, 1580000000 + 3060):  # descending and ascending
+        t = datetime.fromtimestamp(ts, tz=timezone.utc)
+        o = OrbitSettings(sat_name=SatName.NOAA_19, custom_tle=TEST_TLE, ref_time=RefTime.start(t))
+        assert south_to_north_pass(o) is True
+
+    # The raw condition itself, as the reference evaluates it.
+    cond = lambda az: az < math.pi / 4 or az > 3 * math.pi / 4
+    assert cond(-0.2)            # northbound, west of north
+    assert cond(-2.9)            # southbound, west of south (quirk)
+    assert cond(math.pi - 0.2)   # southbound, east of south
+    assert not cond(math.pi / 2)  # due east only is "no rotate"
+
+
+def test_palette_generation(tmp_path):
+    from noaa_apt_tpu.post.palette import ensure_default_palette, generate_daylight_palette
+
+    pal = generate_daylight_palette()
+    assert pal.shape == (256, 256, 3)
+    # Dark visible + warm IR -> water (blue dominant)
+    assert pal[0, 0, 2] > pal[0, 0, 0]
+    # Mid visible, warm IR -> vegetation (green dominant)
+    assert pal[0, 100, 1] > pal[0, 100, 2]
+    # Cold IR (high y) -> cloud (bright, low saturation)
+    assert pal[255, 200].min() > 150
+    p = ensure_default_palette(tmp_path / "pal" / "day.png")
+    assert p.exists()
+    from PIL import Image
+
+    assert Image.open(p).size == (256, 256)
