@@ -33,6 +33,9 @@ def main():
     sample_rate = 48000
     print(f"synthesizing {n_rows}-row pass at {sample_rate} Hz...", file=sys.stderr)
     signal, _ = synth_recording(n_rows=n_rows, sample_rate=sample_rate, noise_db=15.0)
+    # Quantize like a real 16-bit WAV capture; the pipeline ships i16 to
+    # the device and converts there (exact, half the interconnect bytes).
+    signal = np.clip(np.round(signal / np.abs(signal).max() * 32767), -32768, 32767).astype(np.int16)
     duration_s = n_rows / 2.0
     rate = Rate(sample_rate)
 
@@ -40,7 +43,7 @@ def main():
 
     def run():
         res = dec.decode(signal, rate, sync=True)
-        img = process(res.signal(), Contrast.from_percent(0.98), Rotate.NO)
+        img = process(res, Contrast.from_percent(0.98), Rotate.NO, decoder=dec)
         return res, img
 
     print(f"setup {time.time()-t_setup:.1f}s; warmup (compile)...", file=sys.stderr)

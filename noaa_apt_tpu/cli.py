@@ -211,6 +211,7 @@ def inner_main(argv=None) -> int:
     signal, rate = wav.load(args.input_filename)
     profile = settings.profile()
 
+    decoder_obj = None
     if settings.export_wav:
         # Step-export path runs the eager stage-by-stage pipeline.
         from .graph.debug import decode_with_steps
@@ -224,17 +225,20 @@ def inner_main(argv=None) -> int:
         from .parallel import ShardedDecoder
 
         mesh = Mesh(np.array(jax.devices()[: args.distributed]), ("seq",))
-        res = ShardedDecoder(profile, mesh).decode(signal, rate, args.sync, context)
-        raw = res.signal()
+        decoder_obj = ShardedDecoder(profile, mesh)
+        raw = decoder_obj.decode(signal, rate, args.sync, context)
     else:
         from .graph.decode import Decoder
 
-        res = Decoder(profile).decode(signal, rate, args.sync, context)
-        raw = res.signal()
+        decoder_obj = Decoder(profile)
+        raw = decoder_obj.decode(signal, rate, args.sync, context)
 
     from .graph.process import process
 
-    img = process(raw, contrast, rotate, color_settings, orbit_settings, context)
+    img = process(
+        raw, contrast, rotate, color_settings, orbit_settings, context,
+        decoder=decoder_obj,
+    )
 
     from PIL import Image
 

@@ -107,18 +107,27 @@ class DecodeResult:
 class Decoder:
     """Compiles and caches decode graphs per (length-bucket, rate)."""
 
-    def __init__(self, profile: DecodeProfile):
+    def __init__(self, profile: DecodeProfile, peak_backend: str = "device"):
         if profile.work_rate % FINAL_RATE != 0:
             raise err.InternalError("work_rate is not multiple of FINAL_RATE")
         self.profile = profile
         self.work_rate = Rate(profile.work_rate)
         self.samples_per_work_row = PX_PER_ROW * profile.work_rate // FINAL_RATE
+        self.peak_backend = peak_backend  # "device" | "host"
         self._stage1: dict = {}
         self._stage2: dict = {}
 
+    def _select_peaks(self, corr_dev, n_corr_valid: int) -> list[int]:
+        """Greedy sync selection: on-device while_loop by default (only
+        the peak list crosses the interconnect), host scan fallback."""
+        if self.peak_backend == "device":
+            return sy.find_sync_peaks_device(corr_dev, n_corr_valid, self.work_rate)
+        corr = np.asarray(corr_dev[:n_corr_valid])
+        return sy.find_sync_peaks(corr, self.work_rate)
+
     # ------------------------------------------------------------------
-    def _get_stage1(self, n_pad: int, input_rate: Rate, with_corr: bool):
-        key = (n_pad, input_rate.get_hz(), with_corr)
+    def _get_stage1(self, n_pad: int, input_rate: Rate, with_corr: bool, in_dtype=np.float32):
+        key = (n_pad, input_rate.get_hz(), with_corr, np.dtype(in_dtype).name)
         if key in self._stage1:
             return self._stage1[key]
 
@@ -143,6 +152,9 @@ class Decoder:
 
         @jax.jit
         def stage1(x):
+            # 16-bit PCM ships to the device raw (half the interconnect
+            # bytes) and converts exactly to the reference's f32 values.
+            x = x.astype(jnp.float32)
             y = res_fn(x)
             d = dm.demodulate(y, carrier)
             f = rs.causal_filter(d, demod_coeff)
@@ -174,6 +186,57 @@ class Decoder:
         self._stage2[key] = stage2
         return stage2
 
+    # -- device contrast + u8 rendering (tunnel/PCIe byte reduction) ---
+    @staticmethod
+    @jax.jit
+    def _levels_stage(img, n_rows):
+        """Masked min/max + the reference's 1000-bucket histogram
+        (misc.rs:129-149 semantics in f32), all on device; only 4 KB of
+        buckets crosses back for the sequential scan."""
+        mask = jnp.arange(img.shape[0], dtype=jnp.int32)[:, None] < n_rows
+        mn = jnp.min(jnp.where(mask, img, jnp.inf))
+        mx = jnp.max(jnp.where(mask, img, -jnp.inf))
+        rng = mx - mn
+        idx = jnp.trunc((img - mn) / rng * jnp.float32(1000.0))
+        idx = jnp.clip(jnp.nan_to_num(idx, nan=0.0), 0, 999).astype(jnp.int32)
+        idx = jnp.where(mask, idx, 1000)  # masked rows -> overflow bucket
+        hist = jnp.zeros(1001, jnp.int32).at[idx.reshape(-1)].add(1)[:1000]
+        return mn, mx, hist
+
+    @staticmethod
+    @jax.jit
+    def _u8_stage(img, low, high):
+        """map_signal_u8 on device (noaa_apt.rs:249-259; round half-up)."""
+        v = (img - low) / (high - low) * jnp.float32(255.0)
+        v = jnp.minimum(jnp.maximum(v, 0.0), 255.0)
+        return jnp.floor(v + jnp.float32(0.5)).astype(jnp.uint8)
+
+    def render_u8(self, result: "DecodeResult", contrast_kind: str, pct: float = 0.98) -> np.ndarray:
+        """Grayscale u8 image with device-computed contrast levels.
+
+        ``contrast_kind``: "percent" or "minmax".  Exactly matches the
+        host path (post.contrast) — the histogram uses identical f32
+        bucket mapping and the same sequential scan.
+        """
+        from ..post.contrast import scan_buckets
+
+        mn, mx, hist = Decoder._levels_stage(result.image, result.n_rows)
+        if contrast_kind == "minmax":
+            low, high = float(np.float32(mn)), float(np.float32(mx))
+        elif contrast_kind == "percent":
+            remainder = np.float32((np.float32(1.0) - np.float32(pct)) / np.float32(2.0))
+            low, high = scan_buckets(
+                np.asarray(hist),
+                result.n_rows * PX_PER_ROW,
+                remainder,
+                np.float32(mn),
+                np.float32(np.float32(mx) - np.float32(mn)),
+            )
+        else:
+            raise err.InternalError(f"render_u8 does not handle contrast {contrast_kind!r}")
+        u8 = Decoder._u8_stage(result.image, np.float32(low), np.float32(high))
+        return np.asarray(u8[: result.n_rows])
+
     # ------------------------------------------------------------------
     def decode(
         self,
@@ -191,8 +254,9 @@ class Decoder:
         spr = self.samples_per_work_row
         n_true = int(signal.shape[0])
         n_pad = pad_bucket(n_true)
+        in_dtype = np.int16 if signal.dtype == np.int16 else np.float32
 
-        stage1, work_len_fn, guard_len = self._get_stage1(n_pad, input_rate, sync)
+        stage1, work_len_fn, guard_len = self._get_stage1(n_pad, input_rate, sync, in_dtype)
         work_true = work_len_fn(n_true)
 
         if context is not None:
@@ -204,7 +268,7 @@ class Decoder:
                 "Got less than 10 rows of samples, audio file is too short"
             )
 
-        x = np.zeros(n_pad, dtype=np.float32)
+        x = np.zeros(n_pad, dtype=in_dtype)
         x[:n_true] = signal
         f_dev, corr_dev = stage1(jnp.asarray(x))
         work_pad = int(f_dev.shape[0])
@@ -212,8 +276,7 @@ class Decoder:
         if sync:
             if context is not None:
                 context.status(0.5, "Syncing")
-            corr = np.asarray(corr_dev[: max(0, work_true - guard_len)])
-            sync_pos = sy.find_sync_peaks(corr, self.work_rate)
+            sync_pos = self._select_peaks(corr_dev, max(0, work_true - guard_len))
             log.info("Found %d sync frames", len(sync_pos))
             if len(sync_pos) < 5:
                 raise err.InternalError(

@@ -21,47 +21,74 @@ log = logging.getLogger(__name__)
 
 
 def process(
-    signal: np.ndarray,
+    signal,
     contrast_adjustment: Contrast,
     rotate: Rotate,
     color=None,
     orbit: OrbitSettings | None = None,
     context=None,
+    decoder=None,
 ) -> np.ndarray:
-    """Flat decoded signal -> RGBA uint8 image [H, 2080, 4]."""
-    signal = np.asarray(signal, dtype=np.float32).reshape(-1)
+    """Decoded signal -> RGBA uint8 image [H, 2080, 4].
 
+    ``signal`` may be a flat float array (reference API) or a
+    :class:`~noaa_apt_tpu.graph.decode.DecodeResult`; with a
+    ``decoder`` and a percent/minmax contrast, levels and the u8
+    mapping run on device and only the uint8 image crosses the
+    interconnect.
+    """
+    from .decode import DecodeResult
+
+    result = signal if isinstance(signal, DecodeResult) else None
     kind = contrast_adjustment.kind
-    if kind == ContrastKind.TELEMETRY:
+    gray = None
+
+    if result is not None and decoder is not None and kind in (
+        ContrastKind.PERCENT,
+        ContrastKind.MINMAX,
+    ):
         if context is not None:
-            context.status(0.1, "Adjusting contrast from telemetry")
-        telemetry = read_telemetry(signal, context)
-        low = telemetry.get_wedge_value(9, None)
-        high = telemetry.get_wedge_value(8, None)
-    elif kind == ContrastKind.PERCENT:
+            context.status(0.1, "Adjusting contrast (on device)")
+            context.status(0.3, "Generating image")
+        gray = decoder.render_u8(
+            result,
+            "percent" if kind == ContrastKind.PERCENT else "minmax",
+            contrast_adjustment.percent,
+        )
+        height = gray.shape[0]
+
+    if gray is None:
+        signal = result.signal() if result is not None else np.asarray(signal, np.float32).reshape(-1)
+        if kind == ContrastKind.TELEMETRY:
+            if context is not None:
+                context.status(0.1, "Adjusting contrast from telemetry")
+            telemetry = read_telemetry(signal, context)
+            low = telemetry.get_wedge_value(9, None)
+            high = telemetry.get_wedge_value(8, None)
+        elif kind == ContrastKind.PERCENT:
+            if context is not None:
+                context.status(
+                    0.1, f"Adjusting contrast using {contrast_adjustment.percent * 100} percent"
+                )
+            low, high = ct.percent(signal, contrast_adjustment.percent)
+        else:  # MINMAX or HISTOGRAM
+            if context is not None:
+                context.status(0.1, "Mapping values")
+            low, high = ct.min_max(signal)
+
+        # For colorization with histogram equalization, do a 98% contrast
+        # stretch first (noaa_apt.rs:167-176).
+        if color is not None and kind == ContrastKind.HISTOGRAM:
+            low, high = ct.percent(signal, 0.98)
+
         if context is not None:
-            context.status(
-                0.1, f"Adjusting contrast using {contrast_adjustment.percent * 100} percent"
-            )
-        low, high = ct.percent(signal, contrast_adjustment.percent)
-    else:  # MINMAX or HISTOGRAM
-        if context is not None:
-            context.status(0.1, "Mapping values")
-        low, high = ct.min_max(signal)
+            context.status(0.3, "Generating image")
 
-    # For colorization with histogram equalization, do a 98% contrast
-    # stretch first (noaa_apt.rs:167-176).
-    if color is not None and kind == ContrastKind.HISTOGRAM:
-        low, high = ct.percent(signal, 0.98)
+        height = signal.shape[0] // PX_PER_ROW
+        if height * PX_PER_ROW != signal.shape[0]:
+            raise err.InternalError("Could not create image, wrong buffer length")
 
-    if context is not None:
-        context.status(0.3, "Generating image")
-
-    height = signal.shape[0] // PX_PER_ROW
-    if height * PX_PER_ROW != signal.shape[0]:
-        raise err.InternalError("Could not create image, wrong buffer length")
-
-    gray = ct.map_signal_u8(signal, low, high).reshape(height, PX_PER_ROW)
+        gray = ct.map_signal_u8(signal, low, high).reshape(height, PX_PER_ROW)
     img = np.empty((height, PX_PER_ROW, 4), dtype=np.uint8)
     img[..., 0] = gray
     img[..., 1] = gray

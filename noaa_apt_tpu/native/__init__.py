@@ -1,0 +1,86 @@
+"""Native (C++) runtime kernels, loaded via ctypes.
+
+Compiled lazily with g++ into ``_libapt.so`` next to the sources; all
+callers fall back to NumPy implementations when no toolchain exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_DIR = Path(__file__).resolve().parent
+_SRC = _DIR / "peak_finder.cpp"
+_LIB = _DIR / "_libapt.so"
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", str(_LIB), str(_SRC)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception as e:
+        log.info("Native kernel build unavailable (%s); using NumPy fallback", e)
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+            lib.apt_find_sync_peaks.restype = ctypes.c_int64
+            lib.apt_find_sync_peaks.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ]
+            lib.apt_best_quality_row.restype = ctypes.c_int64
+            lib.apt_best_quality_row.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ]
+            _lib = lib
+        except OSError as e:
+            log.info("Native kernel load failed (%s); using NumPy fallback", e)
+        return _lib
+
+
+def find_sync_peaks_native(corr: np.ndarray, spr: int, md: int) -> list[int] | None:
+    """Exact reference greedy scan in C++; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    corr = np.ascontiguousarray(corr, dtype=np.float32)
+    n = corr.shape[0]
+    cap = max(16, n // spr + 16) if spr > 0 else 16
+    out = np.empty(cap, dtype=np.int64)
+    count = lib.apt_find_sync_peaks(
+        corr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, spr, md,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cap,
+    )
+    if count < 0:
+        return None
+    return out[:count].tolist()

@@ -75,18 +75,25 @@ def _row_samples(work_rate_hz: int) -> int:
 def find_sync_peaks(corr: np.ndarray, work_rate: Rate) -> list[int]:
     """Greedy peak selection, exactly reference ``decode.rs:236-254``.
 
-    Fast host algorithm: from the current peak ``(p, v)``, repeatedly
-    jump to the first maximum of ``corr[(p, p+md]]`` if it beats ``v``
-    (this reproduces the scalar scan's running-argmax-with-expanding-
-    window endpoint); once no improvement exists within ``md``, the next
-    peak is force-appended at the first index ``i`` with
-    ``i//spr > len(peaks)`` (possibly several copies, as the reference's
-    ``while`` does on long dropouts).
+    Prefers the native C++ scan (noaa_apt_tpu.native — a literal
+    transliteration of the reference loop).  The NumPy fallback jumps
+    from the current peak ``(p, v)`` to the first maximum of
+    ``corr[(p, p+md]]`` while it beats ``v`` (reproducing the scalar
+    scan's running-argmax-with-expanding-window endpoint); once no
+    improvement exists within ``md``, the next peak is force-appended at
+    the first index ``i`` with ``i//spr > len(peaks)`` (possibly several
+    copies, as the reference's ``while`` does on long dropouts).
     """
     spr = _row_samples(work_rate.get_hz())
     md = spr * 8 // 10
     n = corr.shape[0]
     corr = np.asarray(corr)
+
+    from ..native import find_sync_peaks_native
+
+    native = find_sync_peaks_native(corr, spr, md)
+    if native is not None:
+        return native
 
     peaks_pos: list[int] = [0]
     p, v = 0, 0.0
@@ -119,6 +126,69 @@ def find_sync_peaks(corr: np.ndarray, work_rate: Rate) -> list[int]:
         peaks_pos.extend([i0] * appended)
         p, v = i0, float(corr[i0])
     return peaks_pos
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _find_sync_peaks_device(corr: jnp.ndarray, n_valid, spr: int, md: int, max_peaks: int):
+    """Greedy peak selection on-device (exact jump-algorithm form).
+
+    Equivalent to :func:`find_sync_peaks` (and therefore to the
+    reference scalar scan, ``decode.rs:236-254``): a ``while_loop``
+    whose body either advances the current peak to the first argmax of
+    the ``md``-window after it, or force-appends the next peak(s).
+    ~2 window reductions per image row — microseconds on the VPU — and
+    only the final peak list (a few KB) ever crosses back to the host.
+
+    ``n_valid`` is a traced scalar (true correlation length), so one
+    compilation serves every recording in a length bucket.
+    """
+    neg = jnp.float32(-jnp.inf)
+    padded = jnp.concatenate([corr, jnp.full((md + 1,), neg, corr.dtype)])
+    n = jnp.asarray(n_valid, jnp.int32)
+
+    def cond(state):
+        _, _, _, done, _ = state
+        return jnp.logical_not(done)
+
+    def body(state):
+        p, v, k, _, peaks = state
+        # Replacement chain step: first argmax of corr[(p, p+md]].
+        w = jax.lax.dynamic_slice(padded, (p + 1,), (md,))
+        w = jnp.where(p + 1 + jnp.arange(md) < n, w, neg)
+        q = jnp.argmax(w)
+        improved = w[q] > v
+
+        def do_improve(_):
+            np_ = (p + 1 + q).astype(jnp.int32)
+            return np_, w[q], k, jnp.array(False), peaks.at[k - 1].set(np_)
+
+        def do_append(_):
+            i0 = jnp.maximum(p + md + 1, spr * (k + 1)).astype(jnp.int32)
+            done = i0 >= n
+            appended = jnp.where(done, 0, i0 // spr - k)
+            idx = jnp.arange(max_peaks, dtype=jnp.int32)
+            new_peaks = jnp.where((idx >= k) & (idx < k + appended), i0, peaks)
+            new_k = k + appended
+            new_v = jnp.where(done, v, padded[jnp.minimum(i0, corr.shape[0] - 1)])
+            return jnp.where(done, p, i0), new_v, new_k, done, new_peaks
+
+        return jax.lax.cond(improved, do_improve, do_append, None)
+
+    peaks0 = jnp.zeros(max_peaks, dtype=jnp.int32)
+    state = (jnp.int32(0), jnp.float32(0.0), jnp.int32(1), jnp.array(False), peaks0)
+    _, _, k, _, peaks = jax.lax.while_loop(cond, body, state)
+    return peaks, k
+
+
+def find_sync_peaks_device(corr_dev, n_valid: int, work_rate: Rate) -> list[int]:
+    """On-device greedy selection over ``corr_dev[:n_valid]``; returns
+    the host peak list (a tiny fetch instead of the whole correlation)."""
+    spr = _row_samples(work_rate.get_hz())
+    md = spr * 8 // 10
+    max_peaks = max(16, int(corr_dev.shape[0]) // spr + 16)
+    peaks, k = _find_sync_peaks_device(corr_dev, n_valid, spr, md, max_peaks)
+    k = int(k)
+    return np.asarray(peaks[:k]).tolist()
 
 
 def find_sync_peaks_reference(corr: np.ndarray, work_rate: Rate) -> list[int]:

@@ -221,8 +221,7 @@ class ShardedDecoder(Decoder):
         f_dev, corr_dev = stage1(x_dev)
 
         if sync:
-            corr = np.asarray(corr_dev[: max(0, work_true - guard)])
-            sync_pos = sy.find_sync_peaks(corr, self.work_rate)
+            sync_pos = self._select_peaks(corr_dev, max(0, work_true - guard))
             log.info("Found %d sync frames", len(sync_pos))
             if len(sync_pos) < 5:
                 raise err.InternalError(

@@ -32,8 +32,18 @@ def percent(signal: np.ndarray, pct: float) -> tuple[float, float]:
     idx = np.trunc((signal - mn) / total_range * np.float32(num_buckets))
     idx = np.clip(np.nan_to_num(idx, nan=0.0), 0, num_buckets - 1).astype(np.int64)
     buckets = np.bincount(idx, minlength=num_buckets)
+    return scan_buckets(buckets, signal.size, remainder, mn, total_range)
 
-    n = np.float32(signal.size)
+
+def scan_buckets(
+    buckets: np.ndarray, n_samples: int, remainder: np.float32,
+    mn: np.float32, total_range: np.float32,
+) -> tuple[float, float]:
+    """The reference's sequential bucket scan (misc.rs:151-174) —
+    shared by the host and device-histogram contrast paths.  Note the
+    ``elif``: low and high can never land on the same bucket."""
+    num_buckets = buckets.shape[0]
+    n = np.float32(n_samples)
     accum = 0
     low_bucket = None
     high_bucket = None

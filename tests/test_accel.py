@@ -1,0 +1,98 @@
+"""Acceleration-path equivalence: device peak finder == host scan,
+device contrast/u8 render == host post path, int16 upload == f32."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from noaa_apt_tpu import PX_PER_ROW
+from noaa_apt_tpu.core.frequency import Rate
+from noaa_apt_tpu.core.profiles import STANDARD
+from noaa_apt_tpu.graph.decode import Decoder
+from noaa_apt_tpu.graph.process import process
+from noaa_apt_tpu.ops.sync import (
+    find_sync_peaks,
+    find_sync_peaks_device,
+    find_sync_peaks_reference,
+)
+from noaa_apt_tpu.post.contrast import map_signal_u8, percent
+from noaa_apt_tpu.synth import synth_recording
+from noaa_apt_tpu.types import Contrast, Rotate
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_device_peak_finder_matches_reference(seed):
+    rng = np.random.default_rng(seed)
+    wr = Rate(4160 * 2)
+    spr = 2080 * 2
+    n = spr * 7 + int(rng.integers(0, spr))
+    corr = rng.standard_normal(n + 300).astype(np.float32)  # padded tail
+    for r in range(1, 6):
+        corr[r * spr + int(rng.integers(-20, 20))] += 50.0
+    ref = find_sync_peaks_reference(corr[:n], wr)
+    dev = find_sync_peaks_device(jnp.asarray(corr), n, wr)
+    assert dev == ref
+
+
+def test_device_peak_finder_dropouts():
+    wr = Rate(4160 * 2)
+    spr = 2080 * 2
+    corr = np.full(spr * 10, -1.0, np.float32)
+    corr[10] = 5.0
+    ref = find_sync_peaks_reference(corr, wr)
+    dev = find_sync_peaks_device(jnp.asarray(corr), len(corr), wr)
+    assert dev == ref
+
+
+def test_native_host_device_agree_on_signal():
+    signal, _ = synth_recording(n_rows=24, sample_rate=11025, noise_db=10.0)
+    rate = Rate(11025)
+    d_dev = Decoder(STANDARD, peak_backend="device")
+    d_host = Decoder(STANDARD, peak_backend="host")
+    r1 = d_dev.decode(signal, rate)
+    r2 = d_host.decode(signal, rate)
+    assert r1.sync_positions == r2.sync_positions
+    np.testing.assert_array_equal(r1.image_np(), r2.image_np())
+
+
+def test_render_u8_matches_host_contrast():
+    signal, _ = synth_recording(n_rows=24, sample_rate=11025, noise_db=10.0)
+    rate = Rate(11025)
+    dec = Decoder(STANDARD)
+    res = dec.decode(signal, rate)
+    flat = res.signal()
+
+    for kind, args in [("percent", (0.98,)), ("percent", (0.5,)), ("minmax", ())]:
+        dev = dec.render_u8(res, kind, *args)
+        if kind == "percent":
+            low, high = percent(flat, args[0])
+        else:
+            low, high = float(flat.min()), float(flat.max())
+        host = map_signal_u8(flat, low, high).reshape(res.n_rows, PX_PER_ROW)
+        np.testing.assert_array_equal(dev, host)
+
+
+def test_process_device_path_matches_host_path():
+    signal, _ = synth_recording(n_rows=24, sample_rate=11025, noise_db=10.0)
+    rate = Rate(11025)
+    dec = Decoder(STANDARD)
+    res = dec.decode(signal, rate)
+    img_dev = process(res, Contrast.from_percent(0.98), Rotate.NO, decoder=dec)
+    img_host = process(res.signal(), Contrast.from_percent(0.98), Rotate.NO)
+    np.testing.assert_array_equal(img_dev, img_host)
+
+    img_dev = process(res, Contrast.minmax(), Rotate.YES, decoder=dec)
+    img_host = process(res.signal(), Contrast.minmax(), Rotate.YES)
+    np.testing.assert_array_equal(img_dev, img_host)
+
+
+def test_int16_input_bit_exact():
+    signal, _ = synth_recording(n_rows=16, sample_rate=11025)
+    s16 = np.clip(np.round(signal / np.abs(signal).max() * 32767), -32768, 32767).astype(np.int16)
+    rate = Rate(11025)
+    dec = Decoder(STANDARD)
+    r_f32 = dec.decode(s16.astype(np.float32), rate)
+    r_i16 = dec.decode(s16, rate)
+    assert r_f32.sync_positions == r_i16.sync_positions
+    np.testing.assert_array_equal(r_f32.image_np(), r_i16.image_np())
