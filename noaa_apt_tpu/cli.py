@@ -77,11 +77,20 @@ def inner_main(argv=None) -> int:
     level = logging.DEBUG if args.debug else (logging.WARNING if args.quiet else logging.INFO)
     logging.basicConfig(level=level, format="%(levelname)s %(name)s: %(message)s")
 
+    de = cfg.load_de_settings()
+
     if args.version:
         print(f"noaa-apt-tpu image decoder version {__version__}")
+        if de.get("check_updates", False):
+            result = misc.check_updates(__version__)
+            if result is None:
+                print("Could not retrieve latest version available")
+            elif result[0]:
+                print(f'Version "{result[1]}" available for download!')
+            else:
+                print("You have the latest version available")
         return 0
 
-    de = cfg.load_de_settings()
     settings = cfg.build_settings(
         de, args.profile, args.wav_steps, args.export_resample_filtered
     )

@@ -36,6 +36,28 @@ def write_timestamp(timestamp: int, filename) -> None:
         raise err.InternalError("Could not write timestamp to file")
 
 
+def check_updates(current: str) -> tuple[bool, str] | None:
+    """Check the project site for a newer release (misc.rs:66-90).
+
+    Returns (newer_available, latest_version) or None on any failure
+    (logged, never fatal).
+    """
+    try:
+        from urllib.request import urlopen
+
+        addr = f"https://noaa-apt.mbernardi.com.ar/version_check?{current}"
+        with urlopen(addr, timeout=10) as r:
+            latest = r.read().decode().rstrip("\n")
+
+        def key(v: str):
+            return tuple(int(x) for x in v.strip().split("."))
+
+        return key(latest) > key(current), latest
+    except Exception as e:
+        log.warning("Error checking for updates: %s", e)
+        return None
+
+
 _FREQ_REFERENCES = [
     (137_620_000, SatName.NOAA_15),
     (137_912_500, SatName.NOAA_18),

@@ -1,0 +1,136 @@
+"""CLI integration tests — the reference's ``test/test.sh`` command
+set (decode at 11025 Hz, noisy 48 kHz decode, up/down/decimate
+resamples, full map decode with pinned TLE) with actual assertions."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from noaa_apt_tpu.cli import inner_main
+from noaa_apt_tpu.io import wav
+from noaa_apt_tpu.synth import synth_recording
+
+from test_geo import TEST_TLE
+
+
+@pytest.fixture()
+def env(tmp_path, monkeypatch):
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "cfg"))
+    monkeypatch.setenv("NOAA_APT_RES_DIR", str(tmp_path / "res"))
+    monkeypatch.chdir(tmp_path)
+
+    sig, _ = synth_recording(n_rows=20, sample_rate=11025, noise_db=20.0)
+    wav.write_wav(tmp_path / "test_11025hz.wav", sig, wav.WavSpec(1, 11025, 16, "int"))
+    noise = np.random.default_rng(0).standard_normal(48000 * 8).astype(np.float32)
+    wav.write_wav(tmp_path / "noise_48000hz.wav", noise, wav.WavSpec(1, 48000, 16, "int"))
+    (tmp_path / "test_tle.txt").write_text(TEST_TLE)
+    return tmp_path
+
+
+def test_version(env, capsys):
+    assert inner_main(["-v"]) == 0
+    assert "version" in capsys.readouterr().out
+
+
+def test_decode_apt(env):
+    assert inner_main(["-q", "test_11025hz.wav", "-o", "decoded_apt.png"]) == 0
+    from PIL import Image
+
+    img = Image.open("decoded_apt.png")
+    assert img.width == 2080
+    assert img.height >= 15
+
+
+def test_decode_noise_fails_gracefully(env):
+    # Pure noise at 48 kHz: sync peaks are forced, decode completes (the
+    # reference's noise test also produces a garbage-but-valid image).
+    rc = inner_main(["-q", "noise_48000hz.wav", "-o", "decoded_noise.png"])
+    assert rc == 0
+    assert Path("decoded_noise.png").exists()
+
+
+@pytest.mark.parametrize(
+    "src,rate,out",
+    [
+        ("test_11025hz.wav", 48000, "upsampled_apt.wav"),
+        ("test_11025hz.wav", 6000, "downsampled_apt.wav"),
+        ("test_11025hz.wav", 3675, "decimated_apt.wav"),
+        ("noise_48000hz.wav", 80000, "upsampled_noise.wav"),
+        ("noise_48000hz.wav", 11025, "downsampled_noise.wav"),
+    ],
+)
+def test_resample_commands(env, src, rate, out):
+    assert inner_main(["-q", src, "-r", str(rate), "-o", out]) == 0
+    back, spec = wav.load_wav(out)
+    assert spec.sample_rate == rate
+    assert spec.bits_per_sample == 16
+    src_n, src_spec = wav.load_wav(src)
+    expected_len = len(src_n) * rate / src_spec.sample_rate
+    assert abs(len(back) - expected_len) < rate * 0.01
+    # mtime copied from source (resample.rs:29,67)
+    assert int(os.stat(out).st_mtime) == int(os.stat(src).st_mtime)
+
+
+def test_decode_with_map_and_rotate(env):
+    from noaa_apt_tpu.geo import shapefile as shp
+
+    (env / "res" / "shapefiles").mkdir(parents=True)
+    shp.write_parts(
+        env / "res" / "shapefiles" / "countries.shp",
+        [np.array([[60.0, -20.0], [70.0, -10.0]])],
+        shp.SHAPE_POLYGON,
+    )
+    rc = inner_main(
+        ["-q", "test_11025hz.wav", "--tle", "test_tle.txt", "-s", "noaa_19",
+         "-R", "auto", "-m", "yes", "-t", "2020-01-26T01:33:20+00:00",
+         "-o", "decoded_apt_map.png"]
+    )
+    assert rc == 0
+    assert Path("decoded_apt_map.png").exists()
+
+
+def test_false_color_generates_palette(env):
+    rc = inner_main(["-q", "test_11025hz.wav", "-F", "-o", "fc.png"])
+    assert rc == 0
+    assert (env / "res" / "palettes" / "noaa-apt-daylight.png").exists()
+
+
+def test_profile_selection(env):
+    assert inner_main(["-q", "test_11025hz.wav", "-p", "fast", "-o", "fast.png"]) == 0
+    assert inner_main(["-q", "test_11025hz.wav", "-p", "slow", "-o", "slow.png"]) == 0
+
+
+def test_no_sync_flag(env):
+    assert inner_main(["-q", "test_11025hz.wav", "--no-sync", "-o", "nosync.png"]) == 0
+
+
+def test_invalid_args(env, capsys):
+    assert inner_main(["-q", "test_11025hz.wav", "-c", "bogus"]) == 0
+    assert "Invalid contrast" in capsys.readouterr().out
+    assert inner_main(["-q", "test_11025hz.wav", "-R", "bogus"]) == 0
+    assert "Invalid rotate" in capsys.readouterr().out
+    assert inner_main(["-q", "test_11025hz.wav", "-m", "bogus"]) == 0
+    assert "Invalid map" in capsys.readouterr().out
+    assert inner_main(["-q", "test_11025hz.wav", "-s", "noaa_7"]) == 0
+    assert "Invalid provided satellite" in capsys.readouterr().out
+
+
+def test_gui_mode_unavailable(env):
+    from noaa_apt_tpu.err import FeatureNotAvailableError
+
+    with pytest.raises(FeatureNotAvailableError):
+        inner_main([])
+
+
+def test_filename_inference_prefills_orbit(env, caplog):
+    # A recognized filename infers time + satellite; decode must succeed
+    # with -R auto without explicit -t/-s.
+    sig, _ = synth_recording(n_rows=16, sample_rate=11025)
+    wav.write_wav(env / "gqrx_20200126_013320_137100000.wav", sig, wav.WavSpec(1, 11025, 16, "int"))
+    rc = inner_main(
+        ["-q", "gqrx_20200126_013320_137100000.wav", "--tle", "test_tle.txt",
+         "-R", "auto", "-o", "auto.png"]
+    )
+    assert rc == 0
