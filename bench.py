@@ -55,7 +55,7 @@ def main():
     )
 
     times = []
-    for i in range(3):
+    for i in range(5):
         t0 = time.time()
         res, img = run()
         times.append(time.time() - t0)

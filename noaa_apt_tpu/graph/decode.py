@@ -236,6 +236,26 @@ class Decoder:
         v = jnp.minimum(jnp.maximum(v, 0.0), 255.0)
         return jnp.floor(v + jnp.float32(0.5)).astype(jnp.uint8)
 
+    @staticmethod
+    @jax.jit
+    def _telemetry_stats_stage(img):
+        """Per-row telemetry band means + pooled variance on device
+        (telemetry.rs:147-170); only [3, rows] floats cross back."""
+        a = img[:, 994 : 994 + 44]
+        b = img[:, 2034 : 2034 + 44]
+        mean_a = a.mean(axis=1)
+        mean_b = b.mean(axis=1)
+        variance = (
+            ((a - mean_a[:, None]) ** 2).sum(axis=1)
+            + ((b - mean_b[:, None]) ** 2).sum(axis=1)
+        ) / jnp.float32(88.0)
+        return mean_a, mean_b, variance
+
+    def telemetry_stats(self, result: "DecodeResult"):
+        ma, mb, var = Decoder._telemetry_stats_stage(result.image)
+        n = result.n_rows
+        return np.asarray(ma[:n]), np.asarray(mb[:n]), np.asarray(var[:n])
+
     def render_u8(self, result: "DecodeResult", contrast_kind: str, pct: float = 0.98) -> np.ndarray:
         """Grayscale u8 image with device-computed contrast levels.
 
@@ -259,6 +279,10 @@ class Decoder:
             )
         else:
             raise err.InternalError(f"render_u8 does not handle contrast {contrast_kind!r}")
+        return self.render_u8_levels(result, low, high)
+
+    def render_u8_levels(self, result: "DecodeResult", low: float, high: float) -> np.ndarray:
+        """u8 map with explicit levels (e.g. from telemetry wedges)."""
         u8 = Decoder._u8_stage(result.image, np.float32(low), np.float32(high))
         return np.asarray(u8[: result.n_rows])
 

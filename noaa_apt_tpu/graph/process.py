@@ -56,6 +56,19 @@ def process(
             contrast_adjustment.percent,
         )
         height = gray.shape[0]
+    elif result is not None and decoder is not None and kind == ContrastKind.TELEMETRY:
+        if context is not None:
+            context.status(0.1, "Adjusting contrast from telemetry")
+        from ..post.telemetry import telemetry_from_stats
+
+        ma, mb, var = decoder.telemetry_stats(result)
+        telemetry = telemetry_from_stats(ma, mb, var, context)
+        low = telemetry.get_wedge_value(9, None)
+        high = telemetry.get_wedge_value(8, None)
+        if context is not None:
+            context.status(0.3, "Generating image")
+        gray = decoder.render_u8_levels(result, low, high)
+        height = gray.shape[0]
 
     if gray is None:
         signal = result.signal() if result is not None else np.asarray(signal, np.float32).reshape(-1)

@@ -106,8 +106,16 @@ def band_statistics(signal: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndar
 def read_telemetry(signal: np.ndarray, context=None) -> Telemetry:
     """Locate the best telemetry frame and read wedge values
     (reference ``telemetry.rs:125-243``)."""
-    sample = _TELEMETRY_SAMPLE
     mean_a, mean_b, variance = band_statistics(signal)
+    return telemetry_from_stats(mean_a, mean_b, variance, context)
+
+
+def telemetry_from_stats(
+    mean_a: np.ndarray, mean_b: np.ndarray, variance: np.ndarray, context=None
+) -> Telemetry:
+    """Frame correlation + wedge read from per-row band statistics
+    (which may have been computed on device)."""
+    sample = _TELEMETRY_SAMPLE
 
     if mean_a.shape[0] < sample.shape[0]:
         raise err.InternalError("Recording too short for telemetry decoding")

@@ -87,6 +87,16 @@ def test_process_device_path_matches_host_path():
     np.testing.assert_array_equal(img_dev, img_host)
 
 
+def test_process_telemetry_device_path_matches_host():
+    signal, _ = synth_recording(n_rows=440, sample_rate=11025)
+    rate = Rate(11025)
+    dec = Decoder(STANDARD)
+    res = dec.decode(signal, rate)
+    img_dev = process(res, Contrast.telemetry(), Rotate.NO, decoder=dec)
+    img_host = process(res.signal(), Contrast.telemetry(), Rotate.NO)
+    np.testing.assert_array_equal(img_dev, img_host)
+
+
 def test_int16_input_bit_exact():
     signal, _ = synth_recording(n_rows=16, sample_rate=11025)
     s16 = np.clip(np.round(signal / np.abs(signal).max() * 32767), -32768, 32767).astype(np.int16)

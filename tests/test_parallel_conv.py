@@ -1,0 +1,52 @@
+"""Sharded decode coverage for the conv-mode resampler (48 kHz input,
+l=26 packed-kernel path) and the l==1 decimation edge case."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from noaa_apt_tpu.core.frequency import Rate
+from noaa_apt_tpu.core.profiles import STANDARD
+from noaa_apt_tpu.err import InternalError
+from noaa_apt_tpu.graph.decode import Decoder
+from noaa_apt_tpu.parallel import ShardedDecoder
+from noaa_apt_tpu.synth import synth_recording
+
+
+def test_sharded_conv_mode_equals_single_chip():
+    signal, _ = synth_recording(n_rows=24, sample_rate=48000, noise_db=15.0)
+    rate = Rate(48000)
+    single = Decoder(STANDARD).decode(signal, rate)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    sharded = ShardedDecoder(STANDARD, mesh).decode(signal, rate)
+    assert sharded.sync_positions == single.sync_positions
+    np.testing.assert_array_equal(single.image_np(), sharded.image_np())
+
+
+def test_decode_l1_decimation_input_rate():
+    # 24960 Hz input -> work 12480: l = 1, m = 2 (causal filter +
+    # decimate path, dsp.rs:105-123).
+    signal, _ = synth_recording(n_rows=16, sample_rate=24960)
+    res = Decoder(STANDARD).decode(signal, Rate(24960))
+    assert res.n_rows >= 14
+    img = res.image_np()
+    assert img.shape[1] == 2080
+    # channel A gradient recovered
+    xa = img[4:-4, 100:990].mean(axis=0)
+    assert np.corrcoef(xa, np.arange(xa.size))[0, 1] > 0.95
+
+
+def test_decode_equal_rates():
+    # input == work rate: pure causal-filter path, no resample.
+    signal, _ = synth_recording(n_rows=16, sample_rate=12480)
+    res = Decoder(STANDARD).decode(signal, Rate(12480))
+    assert res.n_rows >= 14
+
+
+def test_sharded_l1_raises_clear_error():
+    signal, _ = synth_recording(n_rows=16, sample_rate=24960)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("seq",))
+    with pytest.raises(InternalError, match="interpolation"):
+        ShardedDecoder(STANDARD, mesh).decode(signal, Rate(24960))
