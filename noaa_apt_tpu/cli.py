@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rotate-image", action="store_true", help="Deprecated. Use --rotate instead.")
     p.add_argument("--distributed", metavar="N_CHIPS", type=int, default=0, help=(
         "TPU extension: sequence-shard the decode over N chips."))
+    p.add_argument("--raw-out", metavar="FILE.npy", help=(
+        "Also save the raw decoded signal (one float per pixel at 4160 Hz) "
+        "as .npy; feed it back as the input to re-process without decoding "
+        "(the GUI's decode-once/process-many workflow, headless)."))
     return p
 
 
@@ -217,10 +221,25 @@ def inner_main(argv=None) -> int:
         settings.export_resample_filtered,
     )
 
-    signal, rate = wav.load(args.input_filename)
     profile = settings.profile()
-
     decoder_obj = None
+
+    if str(args.input_filename).endswith(".npy"):
+        # Re-process a previously decoded raw signal (see --raw-out).
+        import numpy as np
+
+        raw = np.load(args.input_filename).astype(np.float32)
+        from .graph.process import process
+        from PIL import Image
+
+        img = process(raw, contrast, rotate, color_settings, orbit_settings, context)
+        out = args.output or "./output.png"
+        Image.fromarray(img).save(out)
+        log.info("Saved %s", out)
+        return 0
+
+    signal, rate = wav.load_device_ready(args.input_filename)
+
     if settings.export_wav:
         # Step-export path runs the eager stage-by-stage pipeline.
         from .graph.debug import decode_with_steps
@@ -241,6 +260,13 @@ def inner_main(argv=None) -> int:
 
         decoder_obj = Decoder(profile)
         raw = decoder_obj.decode(signal, rate, args.sync, context)
+
+    if args.raw_out:
+        import numpy as np
+
+        flat = raw if isinstance(raw, np.ndarray) else raw.signal()
+        np.save(args.raw_out, flat)
+        log.info("Saved raw decoded signal to %s", args.raw_out)
 
     from .graph.process import process
 

@@ -169,3 +169,13 @@ def load(path) -> tuple[np.ndarray, Rate]:
     """Reference ``noaa_apt::load`` (``noaa_apt.rs:114-130``)."""
     signal, spec = load_wav(path)
     return signal, Rate(spec.sample_rate)
+
+
+def load_device_ready(path) -> tuple[np.ndarray, Rate]:
+    """Like :func:`load`, but 16-bit PCM stays int16 so the decoder can
+    ship half the bytes to the accelerator and convert there (exactly
+    equal to the reference's f32-of-raw-int values)."""
+    signal, spec = load_wav(path)
+    if spec.sample_format == "int" and spec.bits_per_sample == 16:
+        signal = signal.astype(np.int16)  # exact: values are in i16 range
+    return signal, Rate(spec.sample_rate)

@@ -124,6 +124,24 @@ def test_gui_mode_unavailable(env):
         inner_main([])
 
 
+def test_raw_roundtrip_process_many(env):
+    # Decode once with --raw-out, then re-process the .npy with a
+    # different contrast without re-decoding (GUI workflow, headless).
+    assert inner_main(["-q", "test_11025hz.wav", "--raw-out", "raw.npy", "-o", "a.png"]) == 0
+    assert Path("raw.npy").exists()
+    assert inner_main(["-q", "raw.npy", "-c", "histogram", "-o", "b.png"]) == 0
+    from PIL import Image
+
+    assert Image.open("b.png").width == 2080
+
+
+def test_wav_formats_decode(env):
+    # 32-bit float and 8-bit PCM WAVs decode too.
+    sig, _ = synth_recording(n_rows=16, sample_rate=11025)
+    wav.write_wav(env / "f32.wav", sig, wav.WavSpec(1, 11025, 32, "float"))
+    assert inner_main(["-q", "f32.wav", "-o", "f32.png"]) == 0
+
+
 def test_filename_inference_prefills_orbit(env, caplog):
     # A recognized filename infers time + satellite; decode must succeed
     # with -R auto without explicit -t/-s.
