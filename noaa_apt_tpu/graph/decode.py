@@ -112,6 +112,7 @@ class Decoder:
         profile: DecodeProfile,
         peak_backend: str = "device",
         use_pallas: bool | None = None,
+        ingest: str = "device",
     ):
         if profile.work_rate % FINAL_RATE != 0:
             raise err.InternalError("work_rate is not multiple of FINAL_RATE")
@@ -123,6 +124,11 @@ class Decoder:
         # on TPU; defaults on for the TPU backend, off elsewhere (the
         # interpreter is correctness-only).
         self.use_pallas = use_pallas
+        # ingest="host": rate-convert to the work rate with the native
+        # C++ polyphase before upload — ~4x fewer bytes to the device.
+        # Worth it when the host<->device link is the bottleneck (e.g.
+        # a tunnel); "device" keeps the resample in the XLA graph.
+        self.ingest = ingest
         self._stage1: dict = {}
         self._stage2: dict = {}
 
@@ -140,6 +146,48 @@ class Decoder:
         return sy.find_sync_peaks(corr, self.work_rate)
 
     # ------------------------------------------------------------------
+    def _chain_params(self):
+        """Demod carrier constants, post-demod FIR taps, sync template
+        (decode.rs:89-102,164-199) — shared by all stage-1 variants."""
+        p = self.profile
+        carrier = Freq.hz(float(CARRIER_FREQ), self.work_rate)
+        cutout = Freq.from_pi_rad(
+            np.float32(FINAL_RATE) / np.float32(self.work_rate.get_hz())
+        )
+        demod_coeff = Lowpass(
+            cutout=cutout, atten=p.demodulation_atten, delta_w=cutout / 5.0
+        ).design()
+        template = sy.generate_sync_frame(self.work_rate)
+        return carrier, demod_coeff, template
+
+    def _get_work_chain(self, n_work_pad: int, with_corr: bool):
+        """jit(work signal) -> (filtered, corr) for host-ingested input."""
+        key = ("work", n_work_pad, with_corr)
+        if key in self._stage1:
+            return self._stage1[key]
+        carrier, demod_coeff, template = self._chain_params()
+
+        fused = None
+        if with_corr and self._pallas_enabled():
+            from ..ops.pallas_stage import make_demod_fir_corr
+
+            cosphi2, sinphi = dm.demod_constants(carrier)
+            fused = make_demod_fir_corr(demod_coeff, template, cosphi2, sinphi, n_work_pad)
+
+        @jax.jit
+        def chain(y):
+            if fused is not None:
+                return fused(y)
+            d = dm.demodulate(y, carrier)
+            f = rs.causal_filter(d, demod_coeff)
+            if with_corr:
+                return f, sy.sync_correlate(f, template)
+            return f, None
+
+        entry = (chain, len(template))
+        self._stage1[key] = entry
+        return entry
+
     def _get_stage1(self, n_pad: int, input_rate: Rate, with_corr: bool, in_dtype=np.float32):
         key = (n_pad, input_rate.get_hz(), with_corr, np.dtype(in_dtype).name)
         if key in self._stage1:
@@ -154,15 +202,7 @@ class Decoder:
         res_fn, work_len_fn, _ = _plan_resample_with_filter(
             n_pad, input_rate, self.work_rate, filt
         )
-        carrier = Freq.hz(float(CARRIER_FREQ), self.work_rate)
-        # Post-demodulation lowpass (decode.rs:95-102).
-        cutout = Freq.from_pi_rad(
-            np.float32(FINAL_RATE) / np.float32(self.work_rate.get_hz())
-        )
-        demod_coeff = Lowpass(
-            cutout=cutout, atten=p.demodulation_atten, delta_w=cutout / 5.0
-        ).design()
-        template = sy.generate_sync_frame(self.work_rate)
+        carrier, demod_coeff, template = self._chain_params()
 
         fused = None
         if with_corr and self._pallas_enabled():
@@ -302,24 +342,39 @@ class Decoder:
         """
         spr = self.samples_per_work_row
         n_true = int(signal.shape[0])
-        n_pad = pad_bucket(n_true)
-        in_dtype = np.int16 if signal.dtype == np.int16 else np.float32
 
-        stage1, work_len_fn, guard_len = self._get_stage1(n_pad, input_rate, sync, in_dtype)
-        work_true = work_len_fn(n_true)
+        host_work = None
+        if self.ingest == "host":
+            host_work = self._host_ingest(signal, input_rate, context)
 
-        if context is not None:
-            context.status(
-                0.1, f"Resampling to {self.work_rate.get_hz()}"
-            )
-        if work_true < 10 * spr:
-            raise err.InternalError(
-                "Got less than 10 rows of samples, audio file is too short"
-            )
+        if host_work is not None:
+            work_true = int(host_work.shape[0])
+            if work_true < 10 * spr:
+                raise err.InternalError(
+                    "Got less than 10 rows of samples, audio file is too short"
+                )
+            w_pad = pad_bucket(work_true)
+            chain, guard_len = self._get_work_chain(w_pad, sync)
+            wbuf = np.zeros(w_pad, dtype=np.float32)
+            wbuf[:work_true] = host_work
+            f_dev, corr_dev = chain(jnp.asarray(wbuf))
+        else:
+            n_pad = pad_bucket(n_true)
+            in_dtype = np.int16 if signal.dtype == np.int16 else np.float32
 
-        x = np.zeros(n_pad, dtype=in_dtype)
-        x[:n_true] = signal
-        f_dev, corr_dev = stage1(jnp.asarray(x))
+            stage1, work_len_fn, guard_len = self._get_stage1(n_pad, input_rate, sync, in_dtype)
+            work_true = work_len_fn(n_true)
+
+            if context is not None:
+                context.status(0.1, f"Resampling to {self.work_rate.get_hz()}")
+            if work_true < 10 * spr:
+                raise err.InternalError(
+                    "Got less than 10 rows of samples, audio file is too short"
+                )
+
+            x = np.zeros(n_pad, dtype=in_dtype)
+            x[:n_true] = signal
+            f_dev, corr_dev = stage1(jnp.asarray(x))
         work_pad = int(f_dev.shape[0])
 
         if sync:
@@ -350,3 +405,40 @@ class Decoder:
         img = stage2(f_dev, jnp.asarray(pos))
 
         return DecodeResult(image=img, n_rows=n_rows, sync_positions=sync_pos)
+
+    def _host_ingest(self, signal: np.ndarray, input_rate: Rate, context=None):
+        """Native C++ polyphase resample to the work rate on host
+        (reference accumulation order, dsp.rs:186-289); returns the
+        work signal or None to fall back to the device path."""
+        import math as _math
+
+        from ..native import fast_resample_native
+
+        p = self.profile
+        g = _math.gcd(input_rate.get_hz(), self.work_rate.get_hz())
+        l = self.work_rate.get_hz() // g
+        m = input_rate.get_hz() // g
+        if l <= 1:
+            return None  # decimation path stays on device
+        interpolated = input_rate.checked_mul(l)
+        if interpolated is None:
+            raise err.RateOverflowError(
+                "Can't resample, looks like the sample rates do not have a big "
+                f"divisor in common. input_rate: {input_rate.get_hz()}, "
+                f"output_rate: {self.work_rate.get_hz()}, l: {l}, m: {m}"
+            )
+        filt = LowpassDcRemoval(
+            cutout=Freq.hz(p.resample_cutout, input_rate),
+            atten=p.resample_atten,
+            delta_w=Freq.hz(p.resample_delta_freq, input_rate),
+        )
+        coeff = filt.resample(input_rate, interpolated).design()
+        n_true = int(signal.shape[0])
+        interp = n_true * l
+        offset = (len(coeff) - 1) // 2
+        out_len = max(0, -(-(interp - offset) // m)) if interp > offset else 0
+        if context is not None:
+            context.status(0.1, f"Resampling to {self.work_rate.get_hz()} (host)")
+        return fast_resample_native(
+            np.asarray(signal, np.float32), l, m, coeff, out_len
+        )

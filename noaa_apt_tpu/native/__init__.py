@@ -28,7 +28,7 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", str(_LIB), str(_SRC)],
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", str(_LIB), str(_SRC)],
             check=True,
             capture_output=True,
             timeout=120,
@@ -60,10 +60,40 @@ def get_lib():
             lib.apt_best_quality_row.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ]
+            lib.apt_fast_resample.restype = ctypes.c_int64
+            lib.apt_fast_resample.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ]
             _lib = lib
         except OSError as e:
             log.info("Native kernel load failed (%s); using NumPy fallback", e)
         return _lib
+
+
+def fast_resample_native(
+    x: np.ndarray, l: int, m: int, coeff: np.ndarray, out_len: int, threads: int | None = None
+) -> np.ndarray | None:
+    """Host polyphase L/M resample with the reference's exact
+    per-output sequential accumulation (dsp.rs:186-289); None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import os
+
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    coeff = np.ascontiguousarray(coeff, dtype=np.float32)
+    out = np.empty(out_len, dtype=np.float32)
+    nthreads = threads or min(8, os.cpu_count() or 1)
+    lib.apt_fast_resample(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), x.shape[0],
+        l, m,
+        coeff.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), coeff.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out_len, nthreads,
+    )
+    return out
 
 
 def find_sync_peaks_native(corr: np.ndarray, spr: int, md: int) -> list[int] | None:

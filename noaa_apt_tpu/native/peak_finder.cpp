@@ -9,7 +9,10 @@
 // via ctypes with a NumPy fallback, so the framework degrades
 // gracefully without a toolchain.
 
+#include <algorithm>
 #include <cstdint>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -35,6 +38,47 @@ int64_t apt_find_sync_peaks(const float* corr, int64_t n, int64_t spr,
         }
     }
     return count;
+}
+
+// Host-side polyphase resampler (reference dsp.rs:186-289 semantics,
+// identical sequential accumulation order).  Used as an ingest stage
+// when the host->accelerator link is the bottleneck: rate-converting
+// 48 kHz audio to the 12.48 kHz work rate on the host cuts uploaded
+// bytes ~4x.  Threaded over output ranges.
+static void resample_range(const float* x, int64_t n, int64_t l, int64_t m,
+                           const float* coeff, int64_t k, float* out,
+                           int64_t k0, int64_t k1) {
+    const int64_t offset = (k - 1) / 2;
+    const int64_t jmax = 2 * offset;
+    for (int64_t ki = k0; ki < k1; ++ki) {
+        const int64_t km = ki * m;
+        const int64_t p = (l - (km % l)) % l;
+        int64_t xi = (km + p) / l;
+        float sum = 0.0f;
+        for (int64_t j = p; j <= jmax; j += l, ++xi) {
+            if (xi < n) sum += coeff[j] * x[xi];
+        }
+        out[ki] = sum;
+    }
+}
+
+int64_t apt_fast_resample(const float* x, int64_t n, int64_t l, int64_t m,
+                          const float* coeff, int64_t k, float* out,
+                          int64_t out_len, int64_t threads) {
+    if (threads <= 1) {
+        resample_range(x, n, l, m, coeff, k, out, 0, out_len);
+        return out_len;
+    }
+    std::vector<std::thread> pool;
+    const int64_t chunk = (out_len + threads - 1) / threads;
+    for (int64_t t = 0; t < threads; ++t) {
+        const int64_t k0 = t * chunk;
+        const int64_t k1 = std::min(out_len, k0 + chunk);
+        if (k0 >= k1) break;
+        pool.emplace_back(resample_range, x, n, l, m, coeff, k, out, k0, k1);
+    }
+    for (auto& th : pool) th.join();
+    return out_len;
 }
 
 // Telemetry best-frame scan (reference telemetry.rs:201-227): first

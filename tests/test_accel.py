@@ -97,6 +97,43 @@ def test_process_telemetry_device_path_matches_host():
     np.testing.assert_array_equal(img_dev, img_host)
 
 
+def test_native_resample_matches_naive():
+    from noaa_apt_tpu.native import fast_resample_native
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_ops import naive_fast_resampling
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(3000).astype(np.float32)
+    coeff = (rng.standard_normal(301).astype(np.float32) / 301)
+    for l, m in [(26, 100), (3, 2), (832, 735)]:
+        expected = naive_fast_resampling(x, l, m, coeff)
+        got = fast_resample_native(x, l, m, coeff, len(expected))
+        if got is None:
+            pytest.skip("native lib unavailable")
+        # Same sequential accumulation order as the reference loop.
+        np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7)
+
+
+def test_host_ingest_decode_matches_device():
+    signal, _ = synth_recording(n_rows=24, sample_rate=11025, noise_db=12.0)
+    rate = Rate(11025)
+    dev = Decoder(STANDARD, ingest="device").decode(signal, rate)
+    host = Decoder(STANDARD, ingest="host").decode(signal, rate)
+    assert host.sync_positions == dev.sync_positions
+    np.testing.assert_allclose(
+        host.image_np(), dev.image_np(), atol=2e-4 * max(1.0, np.abs(dev.image_np()).max())
+    )
+
+
+def test_host_ingest_falls_back_for_decimation():
+    # l == 1 (24960 -> 12480): host ingest declines, device path used.
+    signal, _ = synth_recording(n_rows=16, sample_rate=24960)
+    res = Decoder(STANDARD, ingest="host").decode(signal, Rate(24960))
+    assert res.n_rows >= 14
+
+
 def test_int16_input_bit_exact():
     signal, _ = synth_recording(n_rows=16, sample_rate=11025)
     s16 = np.clip(np.round(signal / np.abs(signal).max() * 32767), -32768, 32767).astype(np.int16)
