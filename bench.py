@@ -23,6 +23,18 @@ import numpy as np
 
 def main():
     t_setup = time.time()
+    # Persistent compilation cache: the remote TPU compile of the full
+    # graph set can take minutes; cache it across bench invocations.
+    import jax
+
+    cache_dir = Path(__file__).parent / ".jax_cache"
+    try:
+        cache_dir.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        print(f"compilation cache unavailable: {e}", file=sys.stderr)
+
     from noaa_apt_tpu.core.frequency import Rate
     from noaa_apt_tpu.core.profiles import STANDARD
     from noaa_apt_tpu.graph.decode import Decoder

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import CARRIER_FREQ, FINAL_RATE, PX_PER_ROW, err
-from ..core import Lowpass, LowpassDcRemoval, NoFilter
+from ..core import Lowpass, LowpassDcRemoval
 from ..core.frequency import Freq, Rate
 from ..core.profiles import DecodeProfile
 from ..ops import demod as dm

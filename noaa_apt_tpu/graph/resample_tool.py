@@ -8,7 +8,6 @@ modification timestamp.
 from __future__ import annotations
 
 import logging
-from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np

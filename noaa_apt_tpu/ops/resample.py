@@ -31,7 +31,6 @@ out-of-range skip (``dsp.rs:256-263`` treats missing samples as 0).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
 

@@ -24,14 +24,13 @@ from __future__ import annotations
 
 import logging
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .. import CARRIER_FREQ, FINAL_RATE, PX_PER_ROW, err
+from .. import CARRIER_FREQ, FINAL_RATE, err
 from ..core import Lowpass, LowpassDcRemoval
 from ..core.frequency import Freq, Rate
 from ..core.profiles import DecodeProfile

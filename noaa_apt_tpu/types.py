@@ -7,7 +7,7 @@ Rotate, RefTime, ColorSettings, OrbitSettings, MapSettings, SatName).
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime
 from pathlib import Path
 from typing import Optional
