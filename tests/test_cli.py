@@ -106,6 +106,13 @@ def test_no_sync_flag(env):
     assert inner_main(["-q", "test_11025hz.wav", "--no-sync", "-o", "nosync.png"]) == 0
 
 
+def test_ingest_host_flag(env):
+    assert inner_main(["-q", "test_11025hz.wav", "--ingest", "host", "-o", "ih.png"]) == 0
+    from PIL import Image
+
+    assert Image.open("ih.png").width == 2080
+
+
 def test_invalid_args(env, capsys):
     assert inner_main(["-q", "test_11025hz.wav", "-c", "bogus"]) == 0
     assert "Invalid contrast" in capsys.readouterr().out
