@@ -7,7 +7,7 @@ import pytest
 
 from noaa_apt_tpu import PX_PER_ROW, FINAL_RATE
 from noaa_apt_tpu.core.frequency import Rate
-from noaa_apt_tpu.core.profiles import FAST, STANDARD
+from noaa_apt_tpu.core.profiles import FAST, SLOW, STANDARD
 from noaa_apt_tpu.err import InternalError
 from noaa_apt_tpu.graph.decode import Decoder
 from noaa_apt_tpu.synth import synth_recording
@@ -37,7 +37,9 @@ def _align_and_compare(img: np.ndarray, pattern: np.ndarray) -> float:
     return _psnr(rolled[2 : 2 + n, 16:-16], pattern[2 : 2 + n, 16:-16])
 
 
-@pytest.mark.parametrize("rate,profile", [(11025, STANDARD), (48000, FAST)])
+@pytest.mark.parametrize(
+    "rate,profile", [(11025, STANDARD), (48000, FAST), (48000, SLOW)]
+)
 def test_decode_clean_signal(rate, profile):
     n_rows = 40
     signal, pattern = synth_recording(n_rows=n_rows, sample_rate=rate)
