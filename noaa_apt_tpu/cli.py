@@ -228,6 +228,25 @@ def inner_main(argv=None) -> int:
     profile = settings.profile()
     decoder_obj = None
 
+    if Path(args.input_filename).is_dir():
+        # Fleet mode: decode every WAV in the directory (serving path).
+        from .serve import decode_fleet
+
+        report = decode_fleet(
+            sorted(Path(args.input_filename).glob("*.wav")),
+            args.output or "./fleet_out",
+            profile=profile,
+            contrast=contrast,
+            rotate=rotate,
+            sync=args.sync,
+            ingest=args.ingest,
+        )
+        print(
+            f"fleet: {len(report.ok)} decoded, {len(report.failed)} failed, "
+            f"{report.wall_seconds:.1f}s wall ({report.realtime_factor:.0f}x realtime)"
+        )
+        return 0 if not report.failed else 1
+
     if str(args.input_filename).endswith(".npy"):
         # Re-process a previously decoded raw signal (see --raw-out).
         import numpy as np

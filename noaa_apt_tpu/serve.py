@@ -1,0 +1,166 @@
+"""Production fleet decoding: pipelined many-pass throughput.
+
+The reference decodes one WAV per process invocation.  This module is
+the serving path for fleets of recordings (BASELINE config 5): a
+3-stage pipeline where the host data loader (WAV parse + optional
+native C++ ingest resample), the accelerator graphs, and the host
+post/encode stage run concurrently on different passes, so the
+host<->device link and the host CPU stay busy while the TPU computes.
+
+The device stages reuse one :class:`~noaa_apt_tpu.graph.decode.Decoder`
+(compiled graphs are shared across same-bucket recordings), and results
+are written as PNGs mirroring the CLI's output.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterable, Optional
+
+import numpy as np
+
+from . import err
+from .core.profiles import DecodeProfile, STANDARD
+from .graph.decode import Decoder
+from .graph.process import process
+from .io import wav
+from .types import Contrast, Rotate
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class PassResult:
+    input_path: Path
+    output_path: Optional[Path]
+    n_rows: int = 0
+    seconds: float = 0.0
+    error: Optional[str] = None
+
+
+@dataclass
+class FleetReport:
+    results: list[PassResult] = field(default_factory=list)
+    wall_seconds: float = 0.0
+
+    @property
+    def ok(self) -> list[PassResult]:
+        return [r for r in self.results if r.error is None]
+
+    @property
+    def failed(self) -> list[PassResult]:
+        return [r for r in self.results if r.error is not None]
+
+    @property
+    def decoded_seconds(self) -> float:
+        # APT is 2 lines per second.
+        return sum(r.n_rows for r in self.ok) / 2.0
+
+    @property
+    def realtime_factor(self) -> float:
+        return self.decoded_seconds / self.wall_seconds if self.wall_seconds else 0.0
+
+
+def decode_fleet(
+    inputs: Iterable,
+    out_dir,
+    profile: DecodeProfile = STANDARD,
+    contrast: Contrast = None,
+    rotate: Rotate = Rotate.NO,
+    sync: bool = True,
+    ingest: str = "host",
+    loaders: int = 2,
+) -> FleetReport:
+    """Decode many WAVs to PNGs with a load/compute/encode pipeline.
+
+    ``loaders`` host threads parse + ingest-resample upcoming passes
+    while the device stage works on the current one; the encode stage
+    runs on its own thread.  Device work stays on one thread (a single
+    Decoder's jit cache), so graphs compile once per length bucket.
+    """
+    contrast = contrast or Contrast.from_percent(0.98)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = [Path(p) for p in inputs]
+    dec = Decoder(profile, ingest=ingest)
+
+    loaded: "queue.Queue" = queue.Queue(maxsize=max(2, loaders))
+    to_encode: "queue.Queue" = queue.Queue(maxsize=4)
+    report = FleetReport()
+    t_start = time.time()
+
+    path_iter = iter(enumerate(paths))
+    iter_lock = threading.Lock()
+
+    def loader():
+        while True:
+            with iter_lock:
+                try:
+                    i, p = next(path_iter)
+                except StopIteration:
+                    return
+            try:
+                signal, rate = wav.load_device_ready(p)
+                loaded.put((i, p, signal, rate, None))
+            except Exception as e:  # noqa: BLE001 - per-pass isolation
+                loaded.put((i, p, None, None, str(e)))
+
+    def encoder():
+        from PIL import Image
+
+        while True:
+            item = to_encode.get()
+            if item is None:
+                return
+            res_item, p, raw, t0 = item
+            try:
+                img = process(raw, contrast, rotate, decoder=dec)
+                out = out_dir / (p.stem + ".png")
+                Image.fromarray(img).save(out)
+                res_item.output_path = out
+                res_item.seconds = time.time() - t0
+            except Exception as e:  # noqa: BLE001
+                res_item.error = str(e)
+
+    loader_threads = [threading.Thread(target=loader, daemon=True) for _ in range(loaders)]
+    for t in loader_threads:
+        t.start()
+    enc_thread = threading.Thread(target=encoder, daemon=True)
+    enc_thread.start()
+
+    pending = len(paths)
+    results_by_idx: dict[int, PassResult] = {}
+    while pending:
+        i, p, signal, rate, load_err = loaded.get()
+        pending -= 1
+        res_item = PassResult(input_path=p, output_path=None)
+        results_by_idx[i] = res_item
+        if load_err is not None:
+            res_item.error = load_err
+            continue
+        t0 = time.time()
+        try:
+            res = dec.decode(signal, rate, sync=sync)
+            res_item.n_rows = res.n_rows
+            to_encode.put((res_item, p, res, t0))
+        except err.AptError as e:
+            res_item.error = str(e)
+            log.warning("decode failed for %s: %s", p, e)
+
+    to_encode.put(None)
+    enc_thread.join()
+    for t in loader_threads:
+        t.join()
+
+    report.results = [results_by_idx[i] for i in sorted(results_by_idx)]
+    report.wall_seconds = time.time() - t_start
+    log.info(
+        "fleet: %d ok, %d failed, %.1f s wall, %.0fx realtime",
+        len(report.ok), len(report.failed), report.wall_seconds, report.realtime_factor,
+    )
+    return report

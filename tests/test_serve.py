@@ -1,0 +1,52 @@
+"""Fleet serving pipeline: many WAVs -> PNGs with per-pass isolation."""
+
+import numpy as np
+
+from noaa_apt_tpu.io import wav
+from noaa_apt_tpu.serve import decode_fleet
+from noaa_apt_tpu.synth import synth_recording
+
+
+def test_decode_fleet(tmp_path):
+    paths = []
+    for seed in range(3):
+        sig, _ = synth_recording(n_rows=16, sample_rate=11025, noise_db=18.0, seed=seed)
+        p = tmp_path / f"pass_{seed}.wav"
+        wav.write_wav(p, sig, wav.WavSpec(1, 11025, 16, "int"))
+        paths.append(p)
+    # One broken input: decode must isolate the failure.
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFFxxxxWAVE")
+    paths.append(bad)
+    # One too-short input: AptError isolated per pass.
+    short, _ = synth_recording(n_rows=4, sample_rate=11025)
+    ps = tmp_path / "short.wav"
+    wav.write_wav(ps, short, wav.WavSpec(1, 11025, 16, "int"))
+    paths.append(ps)
+
+    report = decode_fleet(paths, tmp_path / "out", ingest="device")
+    _check_report(report)
+
+
+def _check_report(report):
+    assert len(report.ok) == 3
+    assert len(report.failed) == 2
+    for r in report.ok:
+        assert r.output_path.exists()
+        assert r.n_rows >= 14
+    assert report.results[0].input_path.name == "pass_0.wav"
+    assert report.realtime_factor > 0
+
+
+def test_cli_fleet_mode(tmp_path, monkeypatch):
+    from noaa_apt_tpu.cli import inner_main
+
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "cfg"))
+    d = tmp_path / "passes"
+    d.mkdir()
+    for seed in range(2):
+        sig, _ = synth_recording(n_rows=16, sample_rate=11025, seed=seed)
+        wav.write_wav(d / f"p{seed}.wav", sig, wav.WavSpec(1, 11025, 16, "int"))
+    rc = inner_main(["-q", str(d), "--ingest", "device", "-o", str(tmp_path / "out")])
+    assert rc == 0
+    assert len(list((tmp_path / "out").glob("*.png"))) == 2
