@@ -32,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input_filename", nargs="?", help="Input WAV file.")
     p.add_argument("-o", "--output", metavar="FILENAME", help=(
         "Set output path. When decoding images the default is './output.png', "
-        "when resampling the default is './output.wav'."))
+        "when resampling the default is './output.wav'. When the input is a "
+        "directory (fleet mode) this is the output directory, './fleet_out' "
+        "by default."))
     p.add_argument("-v", "--version", action="store_true", help="Show version and quit.")
     p.add_argument("-d", "--debug", action="store_true", help="Print debugging messages.")
     p.add_argument("-q", "--quiet", action="store_true", help="Don't print info messages.")
@@ -232,12 +234,29 @@ def inner_main(argv=None) -> int:
         # Fleet mode: decode every WAV in the directory (serving path).
         from .serve import decode_fleet
 
+        for flag, name in [
+            (settings.export_wav, "--wav-steps"),
+            (args.distributed, "--distributed"),
+            (args.raw_out, "--raw-out"),
+        ]:
+            if flag:
+                print(f"{name} is not supported in fleet (directory) mode")
+                return 1
+        wavs = sorted(
+            p for p in Path(args.input_filename).iterdir()
+            if p.suffix.lower() == ".wav"
+        )
+        if not wavs:
+            print(f"No WAV files found in {args.input_filename}")
+            return 1
         report = decode_fleet(
-            sorted(Path(args.input_filename).glob("*.wav")),
+            wavs,
             args.output or "./fleet_out",
             profile=profile,
             contrast=contrast,
             rotate=rotate,
+            color=color_settings,
+            orbit=orbit_settings,
             sync=args.sync,
             ingest=args.ingest,
         )

@@ -333,18 +333,22 @@ class Decoder:
         input_rate: Rate,
         sync: bool = True,
         context=None,
+        host_work: np.ndarray | None = None,
     ) -> DecodeResult:
         """Decode an APT recording into raw image rows.
 
         Mirrors reference ``decode()`` (``decode.rs:43-162``): resample
         to work rate with DC-removal lowpass, AM-demodulate at 2400 Hz,
         lowpass, sync-align (or truncate), resample to 4160 Hz.
+
+        ``host_work``: a pre-computed work-rate signal from
+        :meth:`_host_ingest` (lets a serving pipeline overlap the native
+        ingest resample with device work on other passes).
         """
         spr = self.samples_per_work_row
         n_true = int(signal.shape[0])
 
-        host_work = None
-        if self.ingest == "host":
+        if host_work is None and self.ingest == "host":
             host_work = self._host_ingest(signal, input_rate, context)
 
         if host_work is not None:

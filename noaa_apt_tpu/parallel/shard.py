@@ -198,7 +198,7 @@ class ShardedDecoder(Decoder):
         return entry
 
     # ------------------------------------------------------------------
-    def decode(self, signal: np.ndarray, input_rate: Rate, sync: bool = True, context=None) -> DecodeResult:
+    def decode(self, signal: np.ndarray, input_rate: Rate, sync: bool = True, context=None, host_work=None) -> DecodeResult:
         spr = self.samples_per_work_row
         n_true = int(signal.shape[0])
         # Key geometry off the padded bucket so recompiles stay bounded.

@@ -72,16 +72,20 @@ def decode_fleet(
     profile: DecodeProfile = STANDARD,
     contrast: Contrast = None,
     rotate: Rotate = Rotate.NO,
+    color=None,
+    orbit=None,
     sync: bool = True,
     ingest: str = "host",
     loaders: int = 2,
 ) -> FleetReport:
     """Decode many WAVs to PNGs with a load/compute/encode pipeline.
 
-    ``loaders`` host threads parse + ingest-resample upcoming passes
-    while the device stage works on the current one; the encode stage
-    runs on its own thread.  Device work stays on one thread (a single
-    Decoder's jit cache), so graphs compile once per length bucket.
+    ``loaders`` host threads parse WAVs and (with ``ingest="host"``) run
+    the native C++ ingest resample for upcoming passes while the device
+    stage works on the current one; the encode stage runs on its own
+    thread.  Device work stays on one thread (a single Decoder's jit
+    cache), so graphs compile once per length bucket.  Failures are
+    isolated per pass.
     """
     contrast = contrast or Contrast.from_percent(0.98)
     out_dir = Path(out_dir)
@@ -106,9 +110,12 @@ def decode_fleet(
                     return
             try:
                 signal, rate = wav.load_device_ready(p)
-                loaded.put((i, p, signal, rate, None))
+                # Host ingest runs here, overlapped with the device
+                # stage working on earlier passes.
+                work = dec._host_ingest(signal, rate) if ingest == "host" else None
+                loaded.put((i, p, signal, rate, work, None))
             except Exception as e:  # noqa: BLE001 - per-pass isolation
-                loaded.put((i, p, None, None, str(e)))
+                loaded.put((i, p, None, None, None, str(e)))
 
     def encoder():
         from PIL import Image
@@ -117,13 +124,14 @@ def decode_fleet(
             item = to_encode.get()
             if item is None:
                 return
-            res_item, p, raw, t0 = item
+            res_item, p, raw = item
+            t0 = time.time()
             try:
-                img = process(raw, contrast, rotate, decoder=dec)
+                img = process(raw, contrast, rotate, color, orbit, decoder=dec)
                 out = out_dir / (p.stem + ".png")
                 Image.fromarray(img).save(out)
                 res_item.output_path = out
-                res_item.seconds = time.time() - t0
+                res_item.seconds += time.time() - t0
             except Exception as e:  # noqa: BLE001
                 res_item.error = str(e)
 
@@ -133,29 +141,31 @@ def decode_fleet(
     enc_thread = threading.Thread(target=encoder, daemon=True)
     enc_thread.start()
 
-    pending = len(paths)
     results_by_idx: dict[int, PassResult] = {}
-    while pending:
-        i, p, signal, rate, load_err = loaded.get()
-        pending -= 1
-        res_item = PassResult(input_path=p, output_path=None)
-        results_by_idx[i] = res_item
-        if load_err is not None:
-            res_item.error = load_err
-            continue
-        t0 = time.time()
-        try:
-            res = dec.decode(signal, rate, sync=sync)
-            res_item.n_rows = res.n_rows
-            to_encode.put((res_item, p, res, t0))
-        except err.AptError as e:
-            res_item.error = str(e)
-            log.warning("decode failed for %s: %s", p, e)
-
-    to_encode.put(None)
-    enc_thread.join()
-    for t in loader_threads:
-        t.join()
+    try:
+        pending = len(paths)
+        while pending:
+            i, p, signal, rate, work, load_err = loaded.get()
+            pending -= 1
+            res_item = PassResult(input_path=p, output_path=None)
+            results_by_idx[i] = res_item
+            if load_err is not None:
+                res_item.error = load_err
+                continue
+            t0 = time.time()
+            try:
+                res = dec.decode(signal, rate, sync=sync, host_work=work)
+                res_item.n_rows = res.n_rows
+                res_item.seconds = time.time() - t0  # decode stage time
+                to_encode.put((res_item, p, res))
+            except Exception as e:  # noqa: BLE001 - per-pass isolation
+                res_item.error = str(e)
+                log.warning("decode failed for %s: %s", p, e)
+    finally:
+        to_encode.put(None)
+        enc_thread.join()
+        for t in loader_threads:
+            t.join()
 
     report.results = [results_by_idx[i] for i in sorted(results_by_idx)]
     report.wall_seconds = time.time() - t_start

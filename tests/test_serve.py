@@ -50,3 +50,29 @@ def test_cli_fleet_mode(tmp_path, monkeypatch):
     rc = inner_main(["-q", str(d), "--ingest", "device", "-o", str(tmp_path / "out")])
     assert rc == 0
     assert len(list((tmp_path / "out").glob("*.png"))) == 2
+
+    # Empty directory: clear failure, not silent success.
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert inner_main(["-q", str(empty), "-o", str(tmp_path / "out2")]) == 1
+    # Unsupported flags are rejected up front.
+    assert inner_main(["-q", str(d), "--wav-steps", "-o", str(tmp_path / "out3")]) == 1
+
+
+def test_fleet_isolates_unexpected_decode_errors(tmp_path):
+    # A WAV with a 0 Hz sample-rate header triggers a non-AptError deep
+    # in planning; the fleet must isolate it and keep going.
+    sig, _ = synth_recording(n_rows=16, sample_rate=11025)
+    good = tmp_path / "good.wav"
+    wav.write_wav(good, sig, wav.WavSpec(1, 11025, 16, "int"))
+    weird = tmp_path / "weird.wav"
+    wav.write_wav(weird, sig, wav.WavSpec(1, 11025, 16, "int"))
+    raw = bytearray(weird.read_bytes())
+    import struct
+
+    struct.pack_into("<I", raw, 24, 0)  # sample rate field -> 0
+    weird.write_bytes(bytes(raw))
+
+    report = decode_fleet([good, weird], tmp_path / "out", ingest="device")
+    assert len(report.ok) == 1
+    assert len(report.failed) == 1
