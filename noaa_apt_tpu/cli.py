@@ -183,7 +183,12 @@ def inner_main(argv=None) -> int:
 
     if args.start_time is not None:
         try:
-            ref_time = RefTime.start(datetime.fromisoformat(args.start_time))
+            t = datetime.fromisoformat(args.start_time)
+            if t.tzinfo is None:
+                # RFC 3339 requires an offset; the reference's
+                # parse_from_rfc3339 rejects naive datetimes too.
+                raise ValueError("missing UTC offset (use e.g. 2020-01-26T01:33:20+00:00)")
+            ref_time = RefTime.start(t)
         except ValueError as e:
             print(f"Could not parse date and time given: {e}")
             return 0
@@ -249,6 +254,28 @@ def inner_main(argv=None) -> int:
         if not wavs:
             print(f"No WAV files found in {args.input_filename}")
             return 1
+
+        orbit_for = None
+        if draw_map is not None or rotate == Rotate.ORBIT:
+            def orbit_for(p):
+                # Per-recording time/satellite inference; explicit -s/-t
+                # flags override, as in single-file mode.
+                s_name, r_time = None, None
+                try:
+                    r_time, s_name = misc.infer_time_sat(settings, p)
+                except err.AptError as e:
+                    log.warning("No time/satellite for %s: %s", p, e)
+                if args.sat is not None:
+                    s_name = sat_name
+                if args.start_time is not None:
+                    r_time = ref_time
+                if s_name is None or r_time is None:
+                    return None
+                return OrbitSettings(
+                    sat_name=s_name, custom_tle=custom_tle,
+                    ref_time=r_time, draw_map=draw_map,
+                )
+
         report = decode_fleet(
             wavs,
             args.output or "./fleet_out",
@@ -256,7 +283,7 @@ def inner_main(argv=None) -> int:
             contrast=contrast,
             rotate=rotate,
             color=color_settings,
-            orbit=orbit_settings,
+            orbit_for=orbit_for,
             sync=args.sync,
             ingest=args.ingest,
         )

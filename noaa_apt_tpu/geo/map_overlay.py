@@ -33,10 +33,19 @@ log = logging.getLogger(__name__)
 PI = math.pi
 
 
+def _rust_round(v: float) -> int:
+    """f64::round — half away from zero (Python's round is banker's)."""
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
 def xiaolin_wu(p1: tuple[float, float], p2: tuple[float, float]):
     """Anti-aliased line: yields ((x, y), coverage in 0..1).
 
-    Same algorithm as the ``line_drawing`` crate the reference uses.
+    Matches the ``line_drawing`` crate's ``XiaolinWu`` iterator the
+    reference uses (map.rs:119): x steps from round(x1) to round(x2)
+    inclusive, emitting (x, floor(y)) with weight 1-fpart and — when
+    fpart > 0 — (x, floor(y)+1) with weight fpart; y starts at the raw
+    endpoint (no endpoint-gap weighting, unlike the textbook version).
     """
     x1, y1 = p1
     x2, y2 = p2
@@ -49,40 +58,27 @@ def xiaolin_wu(p1: tuple[float, float], p2: tuple[float, float]):
     dx = x2 - x1
     gradient = (y2 - y1) / dx if dx != 0.0 else 1.0
 
-    def emit(x, y, v):
-        return ((int(y), int(x)) if steep else (int(x), int(y)), v)
-
     out = []
-    # first endpoint
-    xend = round(x1)
-    yend = y1 + gradient * (xend - x1)
-    xgap = 1.0 - (x1 + 0.5 - math.floor(x1 + 0.5))
-    xpxl1 = int(xend)
-    ypxl1 = math.floor(yend)
-    out.append(emit(xpxl1, ypxl1, (1 - (yend - math.floor(yend))) * xgap))
-    out.append(emit(xpxl1, ypxl1 + 1, (yend - math.floor(yend)) * xgap))
-    intery = yend + gradient
-
-    # second endpoint
-    xend = round(x2)
-    yend = y2 + gradient * (xend - x2)
-    xgap = x2 + 0.5 - math.floor(x2 + 0.5)
-    xpxl2 = int(xend)
-    ypxl2 = math.floor(yend)
-
-    for x in range(xpxl1 + 1, xpxl2):
-        f = intery - math.floor(intery)
-        out.append(emit(x, math.floor(intery), 1 - f))
-        out.append(emit(x, math.floor(intery) + 1, f))
-        intery += gradient
-
-    out.append(emit(xpxl2, ypxl2, (1 - (yend - math.floor(yend))) * xgap))
-    out.append(emit(xpxl2, ypxl2 + 1, (yend - math.floor(yend)) * xgap))
+    x = _rust_round(x1)
+    end_x = _rust_round(x2)
+    y = y1
+    while x <= end_x:
+        fl = math.floor(y)
+        fpart = y - fl
+        fl = int(fl)
+        pt = (fl, x) if steep else (x, fl)
+        out.append((pt, 1.0 - fpart))
+        if fpart > 0.0:
+            pt2 = (fl + 1, x) if steep else (x, fl + 1)
+            out.append((pt2, fpart))
+        x += 1
+        y += gradient
     return out
 
 
 def _blend_pixel(img: np.ndarray, x: int, y: int, rgba: tuple[int, int, int, int]) -> None:
-    """Alpha-composite one RGBA pixel (the image crate's blend)."""
+    """Alpha-composite one RGBA pixel (the image crate's ``Rgba::blend``
+    semantics: float compositing, truncating cast back to u8)."""
     sr, sg_, sb, sa = rgba
     if sa == 0:
         return
@@ -92,10 +88,10 @@ def _blend_pixel(img: np.ndarray, x: int, y: int, rgba: tuple[int, int, int, int
     ao = asf + adf * (1.0 - asf)
     if ao == 0.0:
         return
-    img[y, x, 0] = round((sr * asf + dr * adf * (1 - asf)) / ao)
-    img[y, x, 1] = round((sg_ * asf + dg * adf * (1 - asf)) / ao)
-    img[y, x, 2] = round((sb * asf + db * adf * (1 - asf)) / ao)
-    img[y, x, 3] = round(ao * 255.0)
+    img[y, x, 0] = int((sr * asf + dr * adf * (1 - asf)) / ao)
+    img[y, x, 1] = int((sg_ * asf + dg * adf * (1 - asf)) / ao)
+    img[y, x, 2] = int((sb * asf + db * adf * (1 - asf)) / ao)
+    img[y, x, 3] = int(ao * 255.0)
 
 
 def draw_map(

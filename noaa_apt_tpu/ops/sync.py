@@ -115,14 +115,8 @@ def find_sync_peaks(corr: np.ndarray, work_rate: Rate) -> list[int]:
         i0 = max(p + md + 1, spr * (k + 1))
         if i0 >= n:
             break
+        # i0 >= spr*(k+1) guarantees at least one append.
         appended = i0 // spr - k
-        if appended <= 0:
-            # Can only happen if p+md+1 has not yet crossed the next row
-            # boundary; wait at the boundary index instead.
-            i0 = spr * (k + 1)
-            if i0 >= n:
-                break
-            appended = i0 // spr - k
         peaks_pos.extend([i0] * appended)
         p, v = i0, float(corr[i0])
     return peaks_pos

@@ -74,6 +74,7 @@ def decode_fleet(
     rotate: Rotate = Rotate.NO,
     color=None,
     orbit=None,
+    orbit_for=None,
     sync: bool = True,
     ingest: str = "host",
     loaders: int = 2,
@@ -86,7 +87,13 @@ def decode_fleet(
     thread.  Device work stays on one thread (a single Decoder's jit
     cache), so graphs compile once per length bucket.  Failures are
     isolated per pass.
+
+    ``orbit_for``: optional callable ``Path -> OrbitSettings | None``
+    evaluated per recording (each pass has its own reference time and
+    satellite); overrides the static ``orbit``.
     """
+    from PIL import Image  # fail fast, not inside the encoder thread
+
     contrast = contrast or Contrast.from_percent(0.98)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -118,8 +125,6 @@ def decode_fleet(
                 loaded.put((i, p, None, None, None, str(e)))
 
     def encoder():
-        from PIL import Image
-
         while True:
             item = to_encode.get()
             if item is None:
@@ -127,7 +132,8 @@ def decode_fleet(
             res_item, p, raw = item
             t0 = time.time()
             try:
-                img = process(raw, contrast, rotate, color, orbit, decoder=dec)
+                orb = orbit_for(p) if orbit_for is not None else orbit
+                img = process(raw, contrast, rotate, color, orb, decoder=dec)
                 out = out_dir / (p.stem + ".png")
                 Image.fromarray(img).save(out)
                 res_item.output_path = out
@@ -166,6 +172,12 @@ def decode_fleet(
         enc_thread.join()
         for t in loader_threads:
             t.join()
+
+    # An encoder death (should not happen: failures are caught per item)
+    # must not report passes as ok with no output.
+    for r in results_by_idx.values():
+        if r.error is None and r.output_path is None:
+            r.error = "encoder did not produce output"
 
     report.results = [results_by_idx[i] for i in sorted(results_by_idx)]
     report.wall_seconds = time.time() - t_start

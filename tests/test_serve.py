@@ -59,6 +59,45 @@ def test_cli_fleet_mode(tmp_path, monkeypatch):
     assert inner_main(["-q", str(d), "--wav-steps", "-o", str(tmp_path / "out3")]) == 1
 
 
+def test_fleet_per_file_orbit(tmp_path, monkeypatch):
+    """Each pass gets its own OrbitSettings (per-file time inference)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_geo import TEST_TLE
+    from noaa_apt_tpu.cli import inner_main
+
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "cfg"))
+    d = tmp_path / "passes"
+    d.mkdir()
+    names = ["gqrx_20200126_013320_137100000.wav", "gqrx_20200126_023320_137100000.wav"]
+    for i, name in enumerate(names):
+        sig, _ = synth_recording(n_rows=16, sample_rate=11025, seed=i)
+        wav.write_wav(d / name, sig, wav.WavSpec(1, 11025, 16, "int"))
+    (tmp_path / "tle.txt").write_text(TEST_TLE)
+
+    seen = []
+    import noaa_apt_tpu.geo.orbit as orbit_mod
+
+    orig = orbit_mod.south_to_north_pass
+
+    def spy(o):
+        seen.append(o.ref_time.time)
+        return orig(o)
+
+    monkeypatch.setattr(orbit_mod, "south_to_north_pass", spy)
+    rc = inner_main(
+        ["-q", str(d), "--ingest", "device", "-R", "auto",
+         "--tle", str(tmp_path / "tle.txt"), "-o", str(tmp_path / "out")]
+    )
+    assert rc == 0
+    assert len(set(seen)) == 2  # two distinct per-file reference times
+
+
+import pytest
+
+
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")  # 0 Hz header on purpose
 def test_fleet_isolates_unexpected_decode_errors(tmp_path):
     # A WAV with a 0 Hz sample-rate header triggers a non-AptError deep
     # in planning; the fleet must isolate it and keep going.
