@@ -76,19 +76,28 @@ def test_resample_commands(env, src, rate, out):
 def test_decode_with_map_and_rotate(env):
     from noaa_apt_tpu.geo import shapefile as shp
 
+    # Unix 1580000000 = 2020-01-26T00:53:20Z; NOAA 19 is then near
+    # (-16.4, 66.8) — draw lines crossing that swath.
+    # Dense vertices: the reference's inclusion test is per-segment-
+    # endpoint, so long sparse segments crossing the swath are skipped.
+    t = np.linspace(0.0, 1.0, 200)
     (env / "res" / "shapefiles").mkdir(parents=True)
     shp.write_parts(
         env / "res" / "shapefiles" / "countries.shp",
-        [np.array([[60.0, -20.0], [70.0, -10.0]])],
+        [np.stack([60 + 10 * t, -20 + 10 * t], axis=1),
+         np.stack([64 + 4 * t, -25 + 20 * t], axis=1)],
         shp.SHAPE_POLYGON,
     )
     rc = inner_main(
         ["-q", "test_11025hz.wav", "--tle", "test_tle.txt", "-s", "noaa_19",
-         "-R", "auto", "-m", "yes", "-t", "2020-01-26T01:33:20+00:00",
+         "-R", "auto", "-m", "yes", "-t", "2020-01-26T00:53:20+00:00",
          "-o", "decoded_apt_map.png"]
     )
     assert rc == 0
-    assert Path("decoded_apt_map.png").exists()
+    from PIL import Image
+
+    img = np.asarray(Image.open("decoded_apt_map.png").convert("RGB")).astype(int)
+    assert ((img[..., 0] - img[..., 2]) > 10).sum() > 20  # overlay ink present
 
 
 def test_false_color_generates_palette(env):
