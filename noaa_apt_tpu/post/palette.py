@@ -1,11 +1,11 @@
-"""Procedural false-color palettes.
+"""Procedural false-color palette fallback.
 
 The reference ships 22 palette PNGs (``res/palettes/``, keyed X =
 channel-A brightness, Y = channel-B brightness; ``processing.rs:108``).
-Those are binary assets we do not copy; this module synthesizes a
-compatible default daylight palette on first use, and any reference
-palette dropped into ``res/palettes/`` (or ``NOAA_APT_RES_DIR``) is
-used as-is.
+The same set is vendored in this repo's ``res/palettes/`` (see
+``res/README.md`` for provenance) and is used directly; this module
+synthesizes a compatible daylight palette only as a fallback for
+stripped installs without the resource directory.
 """
 
 from __future__ import annotations

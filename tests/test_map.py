@@ -98,6 +98,83 @@ def test_draw_map_on_synthetic_pass(tmp_path, monkeypatch):
     assert outside == 0
 
 
+def _scalar_rasterize(img, segs, color):
+    """The reference's sequential per-segment draw loop (map.rs:113-128),
+    built from the scalar contract helpers — the oracle for the
+    vectorized rasterizer."""
+    from noaa_apt_tpu.geo.map_overlay import _blend_pixel
+
+    h = img.shape[0]
+    r, g, b, a = color
+    for x1, y1, x2, y2 in segs:
+        if (-456.0 < x1 < 456.0 and 0.0 < y1 < h) or (
+            -600.0 < x1 < 600.0 and 0.0 < y1 < h
+        ):
+            for (x, y), value in xiaolin_wu((x1, y1), (x2, y2)):
+                if -456 < x < 456 and 0 < y < h:
+                    rgba = (r, g, b, int(value * a))
+                    _blend_pixel(img, x + 539, y, rgba)
+                    _blend_pixel(img, x + 1579, y, rgba)
+
+
+def test_vectorized_rasterizer_matches_scalar():
+    """The batch Wu + ordered-blend path must be bit-identical to the
+    sequential scalar loop, including collision blend order and the
+    iterative y accumulation."""
+    from noaa_apt_tpu.geo.map_overlay import _rasterize_segments
+
+    rng = np.random.default_rng(7)
+    h = 120
+    # Chained polyline segments (shared endpoints -> guaranteed pixel
+    # collisions), plus degenerate dots, steep/shallow/long segments.
+    pts = np.stack(
+        [rng.uniform(-700, 700, 60), rng.uniform(-40, h + 40, 60)], axis=1
+    )
+    segs = [(*pts[i], *pts[i - 1]) for i in range(1, len(pts))]
+    segs += [(5.0, 10.0, 5.0, 10.0), (-455.9, 1.0, 455.9, h - 1.0)]
+    segs += [(0.0, 0.5, 0.0, float(h) - 0.5)]  # vertical steep
+    arr = np.asarray(segs, dtype=np.float64)
+
+    color = (200, 120, 40, 180)  # semi-transparent exercises compositing
+    img_scalar = np.zeros((h, 2080, 4), np.uint8)
+    img_scalar[..., 3] = 255
+    img_vec = img_scalar.copy()
+
+    _scalar_rasterize(img_scalar, segs, color)
+    _rasterize_segments(img_vec, arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], color)
+
+    assert (img_vec[..., :3] > 0).sum() > 500  # enough ink to be meaningful
+    np.testing.assert_array_equal(img_vec, img_scalar)
+
+
+def test_real_shapefile_overlay_ink_and_speed():
+    """Out-of-the-box overlay: vendored Natural Earth countries/lakes
+    (res/shapefiles) must draw visible coastlines over a full synthetic
+    pass in about a second (VERDICT r1 item 2: reference takes ~1 s on
+    240k vertices; the old per-vertex Python loop took minutes)."""
+    import time
+
+    from noaa_apt_tpu.io.config import res_path
+
+    if not res_path("shapefiles", "countries.shp").exists():
+        pytest.skip("vendored shapefiles not present")
+
+    # 2020-01-26T09:23:20Z: pass starts over Bolivia and runs south
+    # across Argentina — land-rich, like the reference's argentina.wav.
+    t0 = datetime.fromtimestamp(1580030600, tz=timezone.utc)
+    height = 1100  # ~9-minute pass
+    img = np.zeros((height, PX_PER_ROW, 4), np.uint8)
+    img[..., 3] = 255
+    start = time.perf_counter()
+    draw_map(img, RefTime.start(t0), MapSettings(), SatName.NOAA_19, TEST_TLE)
+    wall = time.perf_counter() - start
+    a_ink = (img[:, 539 - 456 : 539 + 456, :3].sum(-1) > 0).sum()
+    b_ink = (img[:, 1579 - 456 : 1579 + 456, :3].sum(-1) > 0).sum()
+    assert a_ink > 1000, "no coastline ink in channel A"
+    assert b_ink > 1000, "no coastline ink in channel B"
+    assert wall < 5.0, f"overlay took {wall:.2f}s; rasterizer regressed"
+
+
 def test_draw_map_missing_shapefiles_warns(tmp_path, monkeypatch, caplog):
     monkeypatch.setenv("NOAA_APT_RES_DIR", str(tmp_path / "nores"))
     img = np.zeros((20, PX_PER_ROW, 4), np.uint8)
