@@ -131,6 +131,17 @@ class Decoder:
         self.ingest = ingest
         self._stage1: dict = {}
         self._stage2: dict = {}
+        # Every jit-variant built, in order — fleet mode logs this so a
+        # heterogeneous batch triggering one compile per (bucket, rate)
+        # pair is visible instead of silent wall-clock.
+        self.compile_log: list = []
+
+    def _note_compile(self, key) -> None:
+        self.compile_log.append(key)
+        log.info(
+            "Building decode graph variant %s (%d variants so far)",
+            key, len(self.compile_log),
+        )
 
     def _pallas_enabled(self) -> bool:
         if self.use_pallas is not None:
@@ -165,6 +176,7 @@ class Decoder:
         key = ("work", n_work_pad, with_corr)
         if key in self._stage1:
             return self._stage1[key]
+        self._note_compile(key)
         carrier, demod_coeff, template = self._chain_params()
 
         fused = None
@@ -192,6 +204,7 @@ class Decoder:
         key = (n_pad, input_rate.get_hz(), with_corr, np.dtype(in_dtype).name)
         if key in self._stage1:
             return self._stage1[key]
+        self._note_compile(key)
 
         p = self.profile
         filt = LowpassDcRemoval(
@@ -235,6 +248,7 @@ class Decoder:
         key = (work_pad, n_rows_pad)
         if key in self._stage2:
             return self._stage2[key]
+        self._note_compile(("stage2",) + key)
         spr = self.samples_per_work_row
         m_final = self.work_rate.get_hz() // FINAL_RATE
 

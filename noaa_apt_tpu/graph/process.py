@@ -46,15 +46,25 @@ def process(
     if result is not None and decoder is not None and kind in (
         ContrastKind.PERCENT,
         ContrastKind.MINMAX,
+        ContrastKind.HISTOGRAM,
     ):
         if context is not None:
             context.status(0.1, "Adjusting contrast (on device)")
             context.status(0.3, "Generating image")
-        gray = decoder.render_u8(
-            result,
-            "percent" if kind == ContrastKind.PERCENT else "minmax",
-            contrast_adjustment.percent,
-        )
+        if kind == ContrastKind.HISTOGRAM:
+            # Histogram equalization happens on the u8 image below; the
+            # levels here are min/max, or the reference's 98% pre-stretch
+            # for colorized runs (noaa_apt.rs:167-176).
+            if color is not None:
+                gray = decoder.render_u8(result, "percent", 0.98)
+            else:
+                gray = decoder.render_u8(result, "minmax")
+        else:
+            gray = decoder.render_u8(
+                result,
+                "percent" if kind == ContrastKind.PERCENT else "minmax",
+                contrast_adjustment.percent,
+            )
         height = gray.shape[0]
     elif result is not None and decoder is not None and kind == ContrastKind.TELEMETRY:
         if context is not None:

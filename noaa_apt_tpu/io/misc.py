@@ -36,6 +36,27 @@ def write_timestamp(timestamp: int, filename) -> None:
         raise err.InternalError("Could not write timestamp to file")
 
 
+def parse_version(v: str):
+    """Semver 2.0 sort key for ``MAJOR.MINOR.PATCH[-PRE][+BUILD]``.
+
+    The reference compares released versions with the ``semver`` crate
+    (misc.rs:66-90), so tags like ``1.5.0-beta`` must parse and order
+    below ``1.5.0``.  Build metadata is ignored; pre-release
+    identifiers compare numerically when numeric, lexically otherwise,
+    numeric before alphanumeric, fewer identifiers first.
+    """
+    core, _, pre = v.strip().split("+", 1)[0].partition("-")
+    nums = tuple(int(x) for x in core.split("."))
+    if len(nums) != 3:
+        raise ValueError(f"not a semver version: {v!r}")
+    if pre:
+        ids = tuple(
+            (0, int(p), "") if p.isdigit() else (1, 0, p) for p in pre.split(".")
+        )
+        return (*nums, 0, ids)
+    return (*nums, 1, ())
+
+
 def check_updates(current: str) -> tuple[bool, str] | None:
     """Check the project site for a newer release (misc.rs:66-90).
 
@@ -49,10 +70,7 @@ def check_updates(current: str) -> tuple[bool, str] | None:
         with urlopen(addr, timeout=10) as r:
             latest = r.read().decode().rstrip("\n")
 
-        def key(v: str):
-            return tuple(int(x) for x in v.strip().split("."))
-
-        return key(latest) > key(current), latest
+        return parse_version(latest) > parse_version(current), latest
     except Exception as e:
         log.warning("Error checking for updates: %s", e)
         return None

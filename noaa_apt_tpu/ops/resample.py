@@ -169,11 +169,17 @@ def causal_filter(x: jnp.ndarray, coeff) -> jnp.ndarray:
     """
     coeff = jnp.asarray(coeff, jnp.float32)
     k = coeff.shape[0]
+    # Explicit zero padding (not conv implicit padding): XLA may group
+    # partially-overlapping edge windows differently from full windows,
+    # and the sharded decoder recomputes these edge outputs from
+    # explicit halo zeros — full-window dot products keep single-chip
+    # and sharded bit-identical.
+    xp = jnp.concatenate([jnp.zeros((k - 1,), x.dtype), x])
     y = jax.lax.conv_general_dilated(
-        x[None, None, :],
+        xp[None, None, :],
         coeff[::-1][None, None, :],
         window_strides=(1,),
-        padding=[(k - 1, 0)],
+        padding=[(0, 0)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         precision=jax.lax.Precision.HIGHEST,
     )[0, 0]

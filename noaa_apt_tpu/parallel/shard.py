@@ -80,26 +80,27 @@ class ShardedDecoder(Decoder):
         key = ("sharded", n_true_key, input_rate.get_hz())
         if key in self._stage1:
             return self._stage1[key]
+        self._note_compile(key)
 
         p = self.profile
         l, m, d, w, ci, n_pad = self._geometry(n_true_key, input_rate)
-        if l == 1:
-            # Decimation-only path shards trivially; reuse single-chip
-            # logic per chunk with a K-sample left halo.
-            raise err.InternalError(
-                "Sequence-sharded decode currently requires interpolation (l > 1); "
-                f"input rate {input_rate.get_hz()} is a multiple of the work rate"
-            )
 
-        interpolated = input_rate.checked_mul(l)
-        if interpolated is None:
-            raise err.RateOverflowError("interpolated rate overflows u32")
         filt = LowpassDcRemoval(
             cutout=Freq.hz(p.resample_cutout, input_rate),
             atten=p.resample_atten,
             delta_w=Freq.hz(p.resample_delta_freq, input_rate),
         )
-        coeff = filt.resample(input_rate, interpolated).design()
+        if l > 1:
+            interpolated = input_rate.checked_mul(l)
+            if interpolated is None:
+                raise err.RateOverflowError("interpolated rate overflows u32")
+            coeff = filt.resample(input_rate, interpolated).design()
+        else:
+            # Decimation-only rates (input a multiple of the work rate):
+            # the single-chip path is causal_filter + decimate
+            # (dsp.rs:105-123); sharded, each chunk filters with a
+            # (K-1)-sample left halo and decimates in phase (Ci = W*m).
+            coeff = filt.design()
 
         carrier = Freq.hz(float(CARRIER_FREQ), self.work_rate)
         cutout = Freq.from_pi_rad(
@@ -116,9 +117,14 @@ class ShardedDecoder(Decoder):
         l_ctx = _ceil_to(k_d + 1, l)
         g_ctx = _ceil_to(guard, l)
         # Input-domain halos.
-        _, s_c, _, t_taps, _ = _phase_tables(rs.resample_plan(8 * l, l, m, coeff))
-        l_in = l_ctx * m // l
-        r_in = g_ctx * m // l + int(s_c.max()) + t_taps + 1
+        if l > 1:
+            _, s_c, _, t_taps, _ = _phase_tables(rs.resample_plan(8 * l, l, m, coeff))
+            l_in = l_ctx * m // l
+            r_in = g_ctx * m // l + int(s_c.max()) + t_taps + 1
+        else:
+            k_r = len(coeff)
+            l_in = l_ctx * m + k_r - 1
+            r_in = g_ctx * m
         if max(l_in, r_in) > ci:
             raise err.InternalError(
                 f"Chunk too small for halo exchange: Ci={ci}, halo={max(l_in, r_in)}; "
@@ -126,7 +132,23 @@ class ShardedDecoder(Decoder):
             )
         ext_n = l_in + ci + r_in
         ext_out = l_ctx + w + g_ctx
-        plan = rs.resample_plan(ext_n, l, m, coeff, out_len=ext_out)
+        if l > 1:
+            plan = rs.resample_plan(ext_n, l, m, coeff, out_len=ext_out)
+            quirk = None
+        else:
+            plan = None
+            # The reference FIR's strict `i > j` guard removes the
+            # coeff[i]*x[0] term from the first K outputs
+            # (dsp.rs:386-410); at work sample k of the extended chunk
+            # that term is coeff[(k - l_ctx) * m] * x_global[0], present
+            # only on device 0.
+            quirk = np.zeros(ext_out, dtype=np.float32)
+            for k in range(l_ctx, min(ext_out, l_ctx + (k_r - 1) // m + 1)):
+                i = (k - l_ctx) * m
+                if i < k_r:
+                    quirk[k] = coeff[i]
+            quirk = jnp.asarray(quirk)
+            coeff_j = jnp.asarray(coeff[::-1].astype(np.float32))
         cosphi2, sinphi = dm.demod_constants(carrier)
         dcoeff = jnp.asarray(demod_coeff)
         tmpl = jnp.asarray(template.astype(np.float32))
@@ -148,16 +170,34 @@ class ShardedDecoder(Decoder):
             right = jnp.where(idx == nd - 1, 0.0, right)
             ext = jnp.concatenate([left, x_chunk, right])
 
-            y = rs.fast_resample(ext, plan)  # work samples [dW-Lctx, (d+1)W+Gctx)
-            # Work samples before global 0 do not exist single-chip (the
-            # FIR sees zero-padding there); device 0 must zero them even
-            # though their windows touch real samples near the boundary.
-            y = jnp.where((idx == 0) & (jnp.arange(ext_out) < l_ctx), 0.0, y)
+            if l > 1:
+                y = rs.fast_resample(ext, plan)  # work [dW-Lctx, (d+1)W+Gctx)
+                # Work samples before global 0 do not exist single-chip
+                # (the FIR sees zero-padding there); device 0 must zero
+                # them even though their windows touch real samples near
+                # the boundary.
+                y = jnp.where((idx == 0) & (jnp.arange(ext_out) < l_ctx), 0.0, y)
+            else:
+                # Plain causal FIR over the extended chunk, then in-phase
+                # decimation: work sample k sits at filtered index
+                # (K-1) + k*m (the left halo length makes this exact).
+                f_full = jax.lax.conv_general_dilated(
+                    ext[None, None, :],
+                    coeff_j[None, None, :],
+                    window_strides=(1,),
+                    padding=[(len(coeff) - 1, 0)],
+                    dimension_numbers=("NCH", "OIH", "NCH"),
+                    precision=jax.lax.Precision.HIGHEST,
+                )[0, 0]
+                y = jax.lax.slice(f_full, (len(coeff) - 1,), (len(coeff) - 1 + ext_out * m,), (m,))
+                # Reference `i > j` FIR quirk + the zero-padding edge,
+                # device 0 only; k <= l_ctx covers both the nonexistent
+                # pre-start work samples and y_global[0] = 0 exactly.
+                y = y - jnp.where(idx == 0, 1.0, 0.0) * (quirk * ext[l_in])
+                y = jnp.where((idx == 0) & (jnp.arange(ext_out) <= l_ctx), 0.0, y)
             # AM demod (dsp.rs:350-383); position 0 of ext lacks a
             # predecessor but lies deep in discarded context.
-            prev = y[:-1]
-            curr = y[1:]
-            dem = jnp.sqrt(jnp.maximum(prev * prev + curr * curr - prev * curr * cosphi2, 0.0)) / sinphi
+            dem = dm.demod_body(y[:-1], y[1:], cosphi2, sinphi)
             dem = jnp.concatenate([jnp.zeros((1,), y.dtype), dem])
             # Global demod[0] = 0 lives at ext position l_ctx on device 0.
             dem = jnp.where(
@@ -199,6 +239,14 @@ class ShardedDecoder(Decoder):
 
     # ------------------------------------------------------------------
     def decode(self, signal: np.ndarray, input_rate: Rate, sync: bool = True, context=None, host_work=None) -> DecodeResult:
+        if host_work is not None:
+            # Host ingest pre-resamples to the work rate; the sharded
+            # stage-1 graph shards the *input* domain, so the two are
+            # mutually exclusive rather than silently ignored.
+            raise err.InternalError(
+                "host_work is not supported by the sequence-sharded decoder; "
+                "use ingest='device' (the default) with --distributed"
+            )
         spr = self.samples_per_work_row
         n_true = int(signal.shape[0])
         # Key geometry off the padded bucket so recompiles stay bounded.
@@ -206,6 +254,10 @@ class ShardedDecoder(Decoder):
             pad_bucket(n_true), input_rate
         )
         work_true = work_len_fn(n_true)
+        if context is not None:
+            context.status(
+                0.1, f"Resampling to {self.work_rate.get_hz()} ({self.n_dev}-chip)"
+            )
         if work_true < 10 * spr:
             raise err.InternalError(
                 "Got less than 10 rows of samples, audio file is too short"
@@ -220,6 +272,8 @@ class ShardedDecoder(Decoder):
         f_dev, corr_dev = stage1(x_dev)
 
         if sync:
+            if context is not None:
+                context.status(0.5, "Syncing")
             sync_pos = self._select_peaks(corr_dev, max(0, work_true - guard))
             log.info("Found %d sync frames", len(sync_pos))
             if len(sync_pos) < 5:
@@ -228,8 +282,13 @@ class ShardedDecoder(Decoder):
                 )
             rows_pos = [p for p in sync_pos[:-1] if p + spr < work_true]
         else:
+            if context is not None:
+                context.status(0.5, "Skipping Syncing")
             sync_pos = None
             rows_pos = list(range(0, (work_true // spr) * spr, spr))
+
+        if context is not None:
+            context.status(0.90, "Resampling to 4160")
 
         n_rows = len(rows_pos)
         n_rows_pad = max(8, pad_bucket(n_rows))
@@ -272,8 +331,10 @@ def batch_decode(
     results = []
     for i in range(b):
         if sync:
-            corr = np.asarray(corr_dev[i, : max(0, work_true - guard)])
-            sync_pos = sy.find_sync_peaks(corr, decoder.work_rate)
+            # On-device greedy selection per recording: only the peak
+            # list crosses the link, like the single-chip path (the full
+            # correlation row would be work_pad * 4 bytes per pass).
+            sync_pos = decoder._select_peaks(corr_dev[i], max(0, work_true - guard))
             if len(sync_pos) < 5:
                 raise err.InternalError("Found less than 5 sync frames")
             rows_pos = [p for p in sync_pos[:-1] if p + spr < work_true]

@@ -169,3 +169,21 @@ def test_context_empty_signal_ignored(tmp_path):
         ctx.step(variant, sid, np.ones(4, np.float32), Rate(1000))
     ctx.step_signal("sync_correlation", np.zeros(0, np.float32), Rate(12480))
     assert not (tmp_path / "07_sync_correlation.wav").exists()
+
+
+def test_parse_version_semver():
+    """Reference compares versions with the semver crate (misc.rs:66-90):
+    pre-release tags must parse and order below the release."""
+    from noaa_apt_tpu.io.misc import parse_version
+
+    assert parse_version("1.5.0") > parse_version("1.4.1")
+    assert parse_version("1.5.0-beta") < parse_version("1.5.0")
+    assert parse_version("1.5.0-alpha") < parse_version("1.5.0-beta")
+    assert parse_version("1.5.0-alpha.1") < parse_version("1.5.0-alpha.2")
+    assert parse_version("1.5.0-1") < parse_version("1.5.0-alpha")  # numeric < alpha
+    assert parse_version("1.5.0-rc.1") < parse_version("1.5.0-rc.1.1")  # fewer ids first
+    assert parse_version("1.5.0+build7") == parse_version("1.5.0")  # build ignored
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_version("1.5")

@@ -80,3 +80,23 @@ def test_sharded_2d_mesh_data_and_seq():
         got = sdec.decode(s, rate)
         assert got.sync_positions == exp.sync_positions
         np.testing.assert_array_equal(got.image_np(), exp.image_np())
+
+
+def test_sharded_decode_reports_progress_and_rejects_host_work():
+    """VERDICT r1: ShardedDecoder silently dropped context/host_work."""
+    from noaa_apt_tpu.err import InternalError
+    from noaa_apt_tpu.io.context import Context
+
+    signal, _ = synth_recording(n_rows=16, sample_rate=11025)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("seq",))
+    dec = ShardedDecoder(STANDARD, mesh)
+
+    seen = []
+    ctx = Context.decode(ui_callback=lambda p, d: seen.append((p, d)))
+    dec.decode(signal, Rate(11025), context=ctx)
+    assert any("Resampling to 12480" in d for _, d in seen)
+    assert any(d == "Syncing" for _, d in seen)
+    assert any(d == "Resampling to 4160" for _, d in seen)
+
+    with pytest.raises(InternalError, match="host_work"):
+        dec.decode(signal, Rate(11025), host_work=np.zeros(200000, np.float32))

@@ -45,8 +45,15 @@ def test_decode_equal_rates():
     assert res.n_rows >= 14
 
 
-def test_sharded_l1_raises_clear_error():
-    signal, _ = synth_recording(n_rows=16, sample_rate=24960)
-    mesh = Mesh(np.array(jax.devices()[:2]), ("seq",))
-    with pytest.raises(InternalError, match="interpolation"):
-        ShardedDecoder(STANDARD, mesh).decode(signal, Rate(24960))
+@pytest.mark.parametrize("rate_hz,n_dev", [(24960, 2), (24960, 4), (12480, 4)])
+def test_sharded_l1_equals_single_chip(rate_hz, n_dev):
+    """Decimation-only rates (l == 1: 24960 Hz -> m=2; 12480 Hz -> m=1
+    identity) shard with a (K-1)-sample left FIR halo and must stay
+    bit-exact vs the single-chip causal-filter + decimate path."""
+    signal, _ = synth_recording(n_rows=20, sample_rate=rate_hz, noise_db=18.0)
+    rate = Rate(rate_hz)
+    single = Decoder(STANDARD).decode(signal, rate)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("seq",))
+    sharded = ShardedDecoder(STANDARD, mesh).decode(signal, rate)
+    assert sharded.sync_positions == single.sync_positions
+    np.testing.assert_array_equal(single.image_np(), sharded.image_np())
