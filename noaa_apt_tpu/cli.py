@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
         "Also save the raw decoded signal (one float per pixel at 4160 Hz) "
         "as .npy; feed it back as the input to re-process without decoding "
         "(the GUI's decode-once/process-many workflow, headless)."))
+    p.add_argument("--multihost", action="store_true", help=(
+        "Fleet (directory) mode across hosts: initialize the multi-process "
+        "JAX runtime (jax.distributed) and decode only this process's share "
+        "of the recordings; launch one process per host with the standard "
+        "JAX coordinator environment."))
     return p
 
 
@@ -254,6 +259,24 @@ def inner_main(argv=None) -> int:
         if not wavs:
             print(f"No WAV files found in {args.input_filename}")
             return 1
+
+        if args.multihost:
+            # DCN story: recordings are independent, so hosts never
+            # exchange signal data — each decodes its deterministic
+            # share on its local chips (parallel/dist.py).
+            import jax
+
+            from .parallel import fleet_shard, init_distributed
+
+            init_distributed()
+            wavs = fleet_shard(wavs)
+            log.info(
+                "multihost fleet: process %d/%d decoding %d of the recordings",
+                jax.process_index(), jax.process_count(), len(wavs),
+            )
+            if not wavs:
+                print("No recordings assigned to this process")
+                return 0
 
         orbit_for = None
         if draw_map is not None or rotate == Rotate.ORBIT:

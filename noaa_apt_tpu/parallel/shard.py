@@ -306,24 +306,37 @@ def batch_decode(
     mesh: Mesh,
     axis: str = "data",
     sync: bool = True,
+    n_true: int | None = None,
 ) -> list[DecodeResult]:
     """Data-parallel fleet decode: ``signals`` is [B, N] (equal-length
     recordings, e.g. one batch of passes per host); stage 1 runs as one
     vmapped, batch-sharded graph, per-recording sync selection and row
     gather follow on host/device.
+
+    ``signals`` may also be an already batch-sharded ``jax.Array``
+    (e.g. from :func:`~noaa_apt_tpu.parallel.global_batch` spanning
+    hosts), in which case it must already be padded to a bucket length.
     """
-    b, n_true = signals.shape
-    n_pad = pad_bucket(n_true)
+    b, n_in = signals.shape
+    if isinstance(signals, jax.Array):
+        n_pad = n_in  # pre-padded by the caller (global_batch path)
+        n_true = n_in if n_true is None else n_true
+    else:
+        n_true = n_in if n_true is None else n_true
+        n_pad = pad_bucket(n_in)
     stage1, work_len_fn, guard = decoder._get_stage1(n_pad, input_rate, sync)
     work_true = work_len_fn(n_true)
     spr = decoder.samples_per_work_row
     if work_true < 10 * spr:
         raise err.InternalError("Got less than 10 rows of samples, audio file is too short")
 
-    x = np.zeros((b, n_pad), dtype=np.float32)
-    x[:, :n_true] = signals
-    sharding = NamedSharding(mesh, P(axis, None))
-    x_dev = jax.device_put(jnp.asarray(x), sharding)
+    if isinstance(signals, jax.Array):
+        x_dev = signals
+    else:
+        x = np.zeros((b, n_pad), dtype=np.float32)
+        x[:, :n_in] = signals
+        sharding = NamedSharding(mesh, P(axis, None))
+        x_dev = jax.device_put(jnp.asarray(x), sharding)
 
     vstage1 = jax.jit(jax.vmap(stage1))
     f_dev, corr_dev = vstage1(x_dev)
