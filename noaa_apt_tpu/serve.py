@@ -41,6 +41,12 @@ class PassResult:
     n_rows: int = 0
     seconds: float = 0.0
     error: Optional[str] = None
+    # Per-stage wall seconds (stages overlap across passes, so their
+    # sum exceeds fleet wall time on purpose).
+    load_s: float = 0.0
+    ingest_s: float = 0.0
+    device_s: float = 0.0
+    encode_s: float = 0.0
 
 
 @dataclass
@@ -65,6 +71,18 @@ class FleetReport:
     def realtime_factor(self) -> float:
         return self.decoded_seconds / self.wall_seconds if self.wall_seconds else 0.0
 
+    def stage_totals(self) -> dict:
+        """Summed per-stage seconds across passes (pipeline stages run
+        concurrently, so totals can exceed wall time; the max stage is
+        the pipeline's bottleneck)."""
+        out = {"load": 0.0, "ingest": 0.0, "device": 0.0, "encode": 0.0}
+        for r in self.results:
+            out["load"] += r.load_s
+            out["ingest"] += r.ingest_s
+            out["device"] += r.device_s
+            out["encode"] += r.encode_s
+        return {k: round(v, 3) for k, v in out.items()}
+
 
 def decode_fleet(
     inputs: Iterable,
@@ -78,15 +96,17 @@ def decode_fleet(
     sync: bool = True,
     ingest: str = "host",
     loaders: int = 2,
+    encoders: int = 2,
 ) -> FleetReport:
     """Decode many WAVs to PNGs with a load/compute/encode pipeline.
 
     ``loaders`` host threads parse WAVs and (with ``ingest="host"``) run
     the native C++ ingest resample for upcoming passes while the device
-    stage works on the current one; the encode stage runs on its own
-    thread.  Device work stays on one thread (a single Decoder's jit
-    cache), so graphs compile once per length bucket.  Failures are
-    isolated per pass.
+    stage works on the current one; ``encoders`` threads run
+    post-processing (contrast fetch, overlay drawing, PNG encode) so a
+    map-overlay fleet doesn't serialize behind one encoder.  Device
+    work stays on one thread (a single Decoder's jit cache), so graphs
+    compile once per length bucket.  Failures are isolated per pass.
 
     ``orbit_for``: optional callable ``Path -> OrbitSettings | None``
     evaluated per recording (each pass has its own reference time and
@@ -116,13 +136,16 @@ def decode_fleet(
                 except StopIteration:
                     return
             try:
+                t0 = time.time()
                 signal, rate = wav.load_device_ready(p)
+                t1 = time.time()
                 # Host ingest runs here, overlapped with the device
                 # stage working on earlier passes.
                 work = dec._host_ingest(signal, rate) if ingest == "host" else None
-                loaded.put((i, p, signal, rate, work, None))
+                t2 = time.time()
+                loaded.put((i, p, signal, rate, work, None, t1 - t0, t2 - t1))
             except Exception as e:  # noqa: BLE001 - per-pass isolation
-                loaded.put((i, p, None, None, None, str(e)))
+                loaded.put((i, p, None, None, None, str(e), 0.0, 0.0))
 
     def encoder():
         while True:
@@ -137,23 +160,27 @@ def decode_fleet(
                 out = out_dir / (p.stem + ".png")
                 Image.fromarray(img).save(out)
                 res_item.output_path = out
-                res_item.seconds += time.time() - t0
+                res_item.encode_s = time.time() - t0
+                res_item.seconds += res_item.encode_s
             except Exception as e:  # noqa: BLE001
                 res_item.error = str(e)
 
     loader_threads = [threading.Thread(target=loader, daemon=True) for _ in range(loaders)]
     for t in loader_threads:
         t.start()
-    enc_thread = threading.Thread(target=encoder, daemon=True)
-    enc_thread.start()
+    enc_threads = [threading.Thread(target=encoder, daemon=True) for _ in range(max(1, encoders))]
+    for t in enc_threads:
+        t.start()
 
     results_by_idx: dict[int, PassResult] = {}
     try:
         pending = len(paths)
         while pending:
-            i, p, signal, rate, work, load_err = loaded.get()
+            i, p, signal, rate, work, load_err, load_s, ingest_s = loaded.get()
             pending -= 1
             res_item = PassResult(input_path=p, output_path=None)
+            res_item.load_s = load_s
+            res_item.ingest_s = ingest_s
             results_by_idx[i] = res_item
             if load_err is not None:
                 res_item.error = load_err
@@ -162,14 +189,17 @@ def decode_fleet(
             try:
                 res = dec.decode(signal, rate, sync=sync, host_work=work)
                 res_item.n_rows = res.n_rows
-                res_item.seconds = time.time() - t0  # decode stage time
+                res_item.device_s = time.time() - t0
+                res_item.seconds = res_item.device_s
                 to_encode.put((res_item, p, res))
             except Exception as e:  # noqa: BLE001 - per-pass isolation
                 res_item.error = str(e)
                 log.warning("decode failed for %s: %s", p, e)
     finally:
-        to_encode.put(None)
-        enc_thread.join()
+        for _ in enc_threads:
+            to_encode.put(None)
+        for t in enc_threads:
+            t.join()
         for t in loader_threads:
             t.join()
 
