@@ -1,14 +1,26 @@
-"""Benchmark: decode a 10-minute 48 kHz APT pass on real hardware.
+"""Benchmark: single-pass and fleet APT decode on real hardware.
 
-Prints ONE JSON line:
+Prints ONE JSON line whose required keys are
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+with supplementary keys quantifying where the time goes:
+
+- ``value``: aggregate realtime factor decoding a FLEET of eight
+  10-minute 48 kHz passes through the pipelined serving path
+  (serve.decode_fleet) — BASELINE config 5's throughput scaling.
+- ``single_pass_host_ingest_x`` / ``single_pass_device_ingest_x``:
+  end-to-end single-pass realtime factors with the input polyphase on
+  the host C++ path vs fully on-device (VERDICT r1 item 4: both
+  recorded).
+- ``compute_only_x`` / ``lines_per_sec_per_chip``: throughput with
+  data already resident on the chip (only a scalar checksum fetched),
+  i.e. the decode engine itself with the host link out of the picture.
+- ``link``: measured tunnel bandwidth and the predicted minimum wall
+  from bytes moved — when ``predicted_min_wall_s`` ~= the measured
+  fleet wall, the host<->device link, not the engine, is the ceiling.
 
 Baseline anchor (BASELINE.md): the reference decodes a full pass at
-~13x realtime on a Raspberry Pi (fast profile, ~46 s for a ~10 min
-pass).  APT realtime is 2 lines/s, so value = recorded_seconds /
-wall_seconds on the end-to-end path: WAV samples in host RAM ->
-resample -> demod -> FIR -> sync correlate -> greedy peaks -> row
-gather -> contrast -> u8 image fetched to host.
+~13x realtime on a Raspberry Pi (fast profile); APT realtime is
+2 lines/s.
 """
 
 from __future__ import annotations
@@ -20,6 +32,95 @@ from pathlib import Path
 
 import numpy as np
 
+HERE = Path(__file__).parent
+N_ROWS = 1200  # 10-minute pass at 2 lines/s
+SAMPLE_RATE = 48000
+FLEET_N = 8
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _bench_input() -> np.ndarray:
+    cache = HERE / ".bench_input.npy"
+    if cache.exists():
+        log("loaded cached bench input")
+        return np.load(cache)
+    log(f"synthesizing {N_ROWS}-row pass at {SAMPLE_RATE} Hz...")
+    from noaa_apt_tpu.synth import synth_recording
+
+    signal, _ = synth_recording(n_rows=N_ROWS, sample_rate=SAMPLE_RATE, noise_db=15.0)
+    # Quantize like a real 16-bit WAV capture; the pipeline ships i16
+    # to the device and converts there (exact, half the bytes).
+    signal = np.clip(
+        np.round(signal / np.abs(signal).max() * 32767), -32768, 32767
+    ).astype(np.int16)
+    try:
+        np.save(cache, signal)
+    except OSError:
+        pass
+    return signal
+
+
+def _fleet_inputs() -> list[Path]:
+    """Eight 10-minute WAVs (distinct noise seeds, same length bucket)."""
+    from noaa_apt_tpu.io import wav
+    from noaa_apt_tpu.io.wav import WavSpec
+    from noaa_apt_tpu.synth import synth_recording
+
+    fdir = HERE / ".bench_fleet"
+    fdir.mkdir(exist_ok=True)
+    paths = []
+    for i in range(FLEET_N):
+        p = fdir / f"pass{i:02d}.wav"
+        if not p.exists():
+            log(f"synthesizing fleet input {i + 1}/{FLEET_N}...")
+            sig, _ = synth_recording(
+                n_rows=N_ROWS, sample_rate=SAMPLE_RATE, noise_db=15.0, seed=i
+            )
+            sig = np.clip(
+                np.round(sig / np.abs(sig).max() * 32767), -32768, 32767
+            ).astype(np.int16)
+            wav.write_wav(p, sig, WavSpec(1, SAMPLE_RATE, 16, "int"))
+        paths.append(p)
+    return paths
+
+
+def _time_runs(fn, n_warm: int, n_run: int, label: str) -> float:
+    for w in range(n_warm):
+        t0 = time.time()
+        fn()
+        log(f"{label} warmup {w}: {time.time() - t0:.1f}s")
+    times = []
+    for i in range(n_run):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+        log(f"{label} run {i}: {times[-1] * 1e3:.0f} ms")
+    return min(times)
+
+
+def _link_probe(n_bytes: int) -> tuple[float, float]:
+    """Measured host->device and device->host bandwidth (MB/s) through
+    the same API path the decoder uses."""
+    import jax
+    import jax.numpy as jnp
+
+    buf = np.random.default_rng(0).random(n_bytes // 4, np.float32)
+    up_times, down_times = [], []
+    dev = None
+    for _ in range(3):
+        t0 = time.time()
+        dev = jax.device_put(buf)
+        _ = float(jnp.sum(dev))  # force materialization (fetch a scalar)
+        up_times.append(time.time() - t0)
+        t0 = time.time()
+        _ = np.asarray(dev)
+        down_times.append(time.time() - t0)
+    mb = n_bytes / 1e6
+    return mb / min(up_times), mb / min(down_times)
+
 
 def main():
     t_setup = time.time()
@@ -27,78 +128,125 @@ def main():
     # graph set can take minutes; cache it across bench invocations.
     import jax
 
-    cache_dir = Path(__file__).parent / ".jax_cache"
+    cache_dir = HERE / ".jax_cache"
     try:
         cache_dir.mkdir(exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as e:
-        print(f"compilation cache unavailable: {e}", file=sys.stderr)
+        log(f"compilation cache unavailable: {e}")
+
+    import jax.numpy as jnp
 
     from noaa_apt_tpu.core.frequency import Rate
     from noaa_apt_tpu.core.profiles import STANDARD
-    from noaa_apt_tpu.graph.decode import Decoder
+    from noaa_apt_tpu.graph.decode import Decoder, pad_bucket
     from noaa_apt_tpu.graph.process import process
-    from noaa_apt_tpu.synth import synth_recording
+    from noaa_apt_tpu.serve import decode_fleet
     from noaa_apt_tpu.types import Contrast, Rotate
 
-    n_rows = 1200  # 10-minute pass at 2 lines/s
-    sample_rate = 48000
-    cache = Path(__file__).parent / ".bench_input.npy"
-    if cache.exists():
-        signal = np.load(cache)
-        print("loaded cached bench input", file=sys.stderr)
-    else:
-        print(f"synthesizing {n_rows}-row pass at {sample_rate} Hz...", file=sys.stderr)
-        signal, _ = synth_recording(n_rows=n_rows, sample_rate=sample_rate, noise_db=15.0)
-        # Quantize like a real 16-bit WAV capture; the pipeline ships i16
-        # to the device and converts there (exact, half the bytes).
-        signal = np.clip(
-            np.round(signal / np.abs(signal).max() * 32767), -32768, 32767
-        ).astype(np.int16)
-        try:
-            np.save(cache, signal)
-        except OSError:
-            pass
-    duration_s = n_rows / 2.0
-    rate = Rate(sample_rate)
+    signal = _bench_input()
+    fleet_paths = _fleet_inputs()
+    duration_s = N_ROWS / 2.0
+    rate = Rate(SAMPLE_RATE)
+    contrast = Contrast.from_percent(0.98)
+    log(f"setup {time.time() - t_setup:.1f}s")
 
-    # Host ingest: the native C++ polyphase rate-converts 48 kHz -> the
-    # 12.48 kHz work rate before upload (~4x fewer bytes over the
-    # host<->device link, which dominates wall time on this tunnel).
+    # -- 1. single pass, host C++ ingest (fewest bytes over the link) --
     dec = Decoder(STANDARD, ingest="host")
 
-    def run():
+    def run_host():
         res = dec.decode(signal, rate, sync=True)
-        img = process(res, Contrast.from_percent(0.98), Rotate.NO, decoder=dec)
-        return res, img
+        return process(res, contrast, Rotate.NO, decoder=dec)
 
-    print(f"setup {time.time()-t_setup:.1f}s; warmup (compile)...", file=sys.stderr)
-    for w in range(2):  # second pass warms late-bound stage variants
-        t0 = time.time()
-        res, img = run()
-        print(
-            f"warmup {w}: {time.time()-t0:.1f}s, rows={res.n_rows}, img={img.shape}",
-            file=sys.stderr,
+    single_host = duration_s / _time_runs(run_host, 2, 3, "single/host-ingest")
+
+    # -- 2. single pass, fully device-resident ingest (raw i16 upload) --
+    dec_dev = Decoder(STANDARD, ingest="device")
+
+    def run_device():
+        res = dec_dev.decode(signal, rate, sync=True)
+        return process(res, contrast, Rotate.NO, decoder=dec_dev)
+
+    single_device = duration_s / _time_runs(run_device, 2, 3, "single/device-ingest")
+
+    # -- 3. link bandwidth probe (30 MB, the host-ingest upload size) --
+    work_len = len(dec._host_ingest(signal, rate))
+    up_mbps, down_mbps = _link_probe(work_len * 4)
+    log(f"link: upload {up_mbps:.1f} MB/s, fetch {down_mbps:.1f} MB/s")
+
+    # -- 4. fleet throughput through the serving pipeline --------------
+    out_dir = HERE / ".bench_fleet_out"
+    report = None
+
+    def run_fleet():
+        nonlocal report
+        report = decode_fleet(
+            fleet_paths, out_dir, profile=STANDARD, contrast=contrast,
+            sync=True, ingest="host", loaders=3,
         )
+        if report.failed:
+            raise RuntimeError(f"fleet failures: {report.failed}")
 
-    times = []
-    for i in range(5):
-        t0 = time.time()
-        res, img = run()
-        times.append(time.time() - t0)
-        print(f"run {i}: {times[-1]*1e3:.0f} ms", file=sys.stderr)
+    fleet_wall = _time_runs(run_fleet, 1, 1, "fleet")
+    fleet_x = report.decoded_seconds / fleet_wall
+    stages = report.stage_totals()
+    total_rows = sum(r.n_rows for r in report.ok)
 
-    wall = min(times)
-    value = duration_s / wall
+    # Tunnel ceiling: bytes that must serialize over the link.
+    up_bytes = FLEET_N * work_len * 4  # f32 work signal per pass
+    down_bytes = sum(r.n_rows for r in report.ok) * 2080  # u8 image per pass
+    predicted_wall = up_bytes / 1e6 / up_mbps + down_bytes / 1e6 / down_mbps
+
+    # -- 5. compute-only: data resident on chip, scalar checksum out ---
+    work = dec._host_ingest(signal, rate)
+    w_pad = pad_bucket(len(work))
+    chain, guard_len = dec._get_work_chain(w_pad, True)
+    wbuf = np.zeros(w_pad, np.float32)
+    wbuf[: len(work)] = work
+    wbuf_dev = jax.device_put(jnp.asarray(wbuf))
+    spr = dec.samples_per_work_row
+    work_true = len(work)
+
+    def run_resident():
+        f_dev, corr_dev = chain(wbuf_dev)
+        sync_pos = dec._select_peaks(corr_dev, max(0, work_true - guard_len))
+        rows_pos = [p for p in sync_pos[:-1] if p + spr < work_true]
+        n_rows_pad = max(8, pad_bucket(len(rows_pos)))
+        pos = np.zeros(n_rows_pad, np.int32)
+        pos[: len(rows_pos)] = rows_pos
+        stage2 = dec._get_stage2(int(f_dev.shape[0]), n_rows_pad)
+        img = stage2(f_dev, jnp.asarray(pos))
+        u8 = Decoder._u8_stage(img, np.float32(0.0), np.float32(1.0))
+        return float(jnp.sum(jnp.asarray(u8, jnp.int32))), len(rows_pos)
+
+    resident_wall = _time_runs(lambda: run_resident(), 2, 5, "compute-only")
+    _, resident_rows = run_resident()
+    compute_x = duration_s / resident_wall
+    lines_per_sec = resident_rows / resident_wall
+
     baseline = 13.0  # reference: ~13x realtime (Raspberry Pi, fast profile)
     print(
         json.dumps(
             {
-                "metric": "decode_realtime_factor",
-                "value": round(value, 1),
-                "unit": "x_realtime_10min_48k_pass",
-                "vs_baseline": round(value / baseline, 1),
+                "metric": "fleet_aggregate_realtime_factor",
+                "value": round(fleet_x, 1),
+                "unit": f"x_realtime_{FLEET_N}x10min_48k_fleet",
+                "vs_baseline": round(fleet_x / baseline, 1),
+                "single_pass_host_ingest_x": round(single_host, 1),
+                "single_pass_device_ingest_x": round(single_device, 1),
+                "compute_only_x": round(compute_x, 1),
+                "lines_per_sec_per_chip": round(lines_per_sec, 0),
+                "fleet_rows": total_rows,
+                "stages_s": stages,
+                "link": {
+                    "upload_MBps": round(up_mbps, 1),
+                    "fetch_MBps": round(down_mbps, 1),
+                    "upload_MB": round(up_bytes / 1e6, 1),
+                    "fetch_MB": round(down_bytes / 1e6, 1),
+                    "predicted_min_wall_s": round(predicted_wall, 2),
+                    "measured_fleet_wall_s": round(fleet_wall, 2),
+                },
             }
         )
     )

@@ -53,6 +53,9 @@ class PassResult:
 class FleetReport:
     results: list[PassResult] = field(default_factory=list)
     wall_seconds: float = 0.0
+    # jit graph variants built during the run: a heterogeneous fleet
+    # triggering one compile per (length-bucket, rate) shows up here.
+    compile_variants: int = 0
 
     @property
     def ok(self) -> list[PassResult]:
@@ -211,8 +214,10 @@ def decode_fleet(
 
     report.results = [results_by_idx[i] for i in sorted(results_by_idx)]
     report.wall_seconds = time.time() - t_start
+    report.compile_variants = len(dec.compile_log)
     log.info(
-        "fleet: %d ok, %d failed, %.1f s wall, %.0fx realtime",
-        len(report.ok), len(report.failed), report.wall_seconds, report.realtime_factor,
+        "fleet: %d ok, %d failed, %.1f s wall, %.0fx realtime, %d graph variants",
+        len(report.ok), len(report.failed), report.wall_seconds,
+        report.realtime_factor, report.compile_variants,
     )
     return report

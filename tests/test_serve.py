@@ -34,8 +34,15 @@ def _check_report(report):
     for r in report.ok:
         assert r.output_path.exists()
         assert r.n_rows >= 14
+        assert r.device_s > 0 and r.encode_s > 0  # stage timings recorded
     assert report.results[0].input_path.name == "pass_0.wav"
     assert report.realtime_factor > 0
+    totals = report.stage_totals()
+    assert totals["device"] > 0 and totals["encode"] > 0
+    # Homogeneous fleet (one length bucket, one rate): the graph-variant
+    # count must stay bounded, not grow per pass (stage1 + stage2 + a
+    # couple of device contrast/u8 stages).
+    assert 0 < report.compile_variants <= 6
 
 
 def test_cli_fleet_mode(tmp_path, monkeypatch):
