@@ -70,10 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rotate-image", action="store_true", help="Deprecated. Use --rotate instead.")
     p.add_argument("--distributed", metavar="N_CHIPS", type=int, default=0, help=(
         "TPU extension: sequence-shard the decode over N chips."))
-    p.add_argument("--ingest", metavar="WHERE", choices=["device", "host"], default="device", help=(
+    p.add_argument("--ingest", metavar="WHERE", choices=["device", "host", "host16"], default="device", help=(
         "TPU extension: where the first resample runs. 'host' uses the "
         "native C++ polyphase before upload (fewer bytes over the "
-        "host-accelerator link); 'device' (default) keeps it in the XLA graph."))
+        "host-accelerator link); 'host16' additionally quantizes the work "
+        "signal to 16-bit (half the bytes again, ~90 dB SNR); 'device' "
+        "(default) keeps it in the XLA graph."))
     p.add_argument("--raw-out", metavar="FILE.npy", help=(
         "Also save the raw decoded signal (one float per pixel at 4160 Hz) "
         "as .npy; feed it back as the input to re-process without decoding "

@@ -112,6 +112,22 @@ def process(
             raise err.InternalError("Could not create image, wrong buffer length")
 
         gray = ct.map_signal_u8(signal, low, high).reshape(height, PX_PER_ROW)
+    return finish_image(gray, kind, rotate, color, orbit, context)
+
+
+def finish_image(
+    gray: np.ndarray,
+    kind: ContrastKind,
+    rotate: Rotate,
+    color=None,
+    orbit: OrbitSettings | None = None,
+    context=None,
+) -> np.ndarray:
+    """Contrast-mapped u8 rows -> final RGBA image: colorize, equalize,
+    overlay, rotate (the tail of reference ``process()``,
+    noaa_apt.rs:186-243).  Shared by :func:`process` and the fused
+    serving path (``Decoder.decode_render`` produces ``gray``)."""
+    height = gray.shape[0]
     img = np.empty((height, PX_PER_ROW, 4), dtype=np.uint8)
     img[..., 0] = gray
     img[..., 1] = gray

@@ -42,8 +42,11 @@ class WavSpec:
     sample_format: str  # "int" | "float"
 
 
-def load_wav(path) -> tuple[np.ndarray, WavSpec]:
-    """Load a WAV file; returns (float32 channel-0 samples, spec)."""
+def load_wav(path, raw_int16: bool = False) -> tuple[np.ndarray, WavSpec]:
+    """Load a WAV file; returns (float32 channel-0 samples, spec).
+
+    ``raw_int16``: return mono 16-bit PCM as the raw int16 buffer
+    (values identical after the usual exact f32 conversion)."""
     path = Path(path)
     try:
         raw = path.read_bytes()
@@ -118,6 +121,8 @@ def load_wav(path) -> tuple[np.ndarray, WavSpec]:
         arr = arr[: len(arr) // channels * channels : channels]
 
     spec = WavSpec(channels, sample_rate, bits, sample_format)
+    if raw_int16 and arr.dtype == np.int16 and sample_format == "int" and bits == 16:
+        return arr, spec
     return arr.astype(np.float32), spec
 
 
@@ -174,8 +179,12 @@ def load(path) -> tuple[np.ndarray, Rate]:
 def load_device_ready(path) -> tuple[np.ndarray, Rate]:
     """Like :func:`load`, but 16-bit PCM stays int16 so the decoder can
     ship half the bytes to the accelerator and convert there (exactly
-    equal to the reference's f32-of-raw-int values)."""
-    signal, spec = load_wav(path)
-    if spec.sample_format == "int" and spec.bits_per_sample == 16:
+    equal to the reference's f32-of-raw-int values).
+
+    The common 16-bit case keeps the raw buffer as-is — no i16 -> f32
+    -> i16 round trip (~170 MB of memory traffic per 10-minute pass,
+    which mattered on small serving hosts)."""
+    signal, spec = load_wav(path, raw_int16=True)
+    if signal.dtype != np.int16 and spec.sample_format == "int" and spec.bits_per_sample == 16:
         signal = signal.astype(np.int16)  # exact: values are in i16 range
     return signal, Rate(spec.sample_rate)

@@ -40,23 +40,75 @@ int64_t apt_find_sync_peaks(const float* corr, int64_t n, int64_t spr,
     return count;
 }
 
-// Host-side polyphase resampler (reference dsp.rs:186-289 semantics,
-// identical sequential accumulation order).  Used as an ingest stage
-// when the host->accelerator link is the bottleneck: rate-converting
-// 48 kHz audio to the 12.48 kHz work rate on the host cuts uploaded
-// bytes ~4x.  Threaded over output ranges.
-static void resample_range(const float* x, int64_t n, int64_t l, int64_t m,
-                           const float* coeff, int64_t k, float* out,
-                           int64_t k0, int64_t k1) {
+// Host-side polyphase resampler (reference dsp.rs:186-289 semantics).
+// Used as an ingest stage when the host->accelerator link is the
+// bottleneck: rate-converting 48 kHz audio to the 12.48 kHz work rate
+// on the host cuts uploaded bytes ~4x.  Threaded over output ranges.
+//
+// The taps congruent to each output phase are packed into a contiguous
+// L1-resident bank (l rows of ~k/l floats), so the per-output kernel
+// is a unit-stride dot product instead of a strided walk over the full
+// coefficient array with a bounds check per tap.  Two variants:
+//  - exact:  strictly sequential accumulation, bit-identical to the
+//    reference's scalar loop (the bank preserves tap order).
+//  - fast:   same taps, fast-math so the compiler vectorizes the
+//    reduction (different f32 summation order, ~1e-7 relative noise —
+//    far below the i16 quantization of the "host16" serving mode that
+//    uses it).
+struct PhaseBank {
+    std::vector<float> taps;   // [l, tmax], zero-padded rows
+    std::vector<int64_t> tcount;
+    int64_t tmax;
+};
+
+static PhaseBank build_bank(const float* coeff, int64_t k, int64_t l) {
+    PhaseBank b;
     const int64_t offset = (k - 1) / 2;
-    const int64_t jmax = 2 * offset;
+    const int64_t jmax = 2 * offset;  // == k-1 (odd-length designs)
+    b.tmax = jmax / l + 1;
+    b.taps.assign(l * b.tmax, 0.0f);
+    b.tcount.assign(l, 0);
+    for (int64_t p = 0; p < l; ++p) {
+        const int64_t t_n = p <= jmax ? (jmax - p) / l + 1 : 0;
+        b.tcount[p] = t_n;
+        for (int64_t t = 0; t < t_n; ++t) b.taps[p * b.tmax + t] = coeff[p + t * l];
+    }
+    return b;
+}
+
+#if defined(__GNUC__) && !defined(__clang__)
+__attribute__((optimize("-O3", "-ffast-math", "-funroll-loops")))
+#endif
+static float dot_fast(const float* a, const float* b, int64_t t_n) {
+    float sum = 0.0f;
+    for (int64_t t = 0; t < t_n; ++t) sum += a[t] * b[t];
+    return sum;
+}
+
+static float dot_exact(const float* a, const float* b, int64_t t_n) {
+    float sum = 0.0f;
+    for (int64_t t = 0; t < t_n; ++t) sum += a[t] * b[t];
+    return sum;
+}
+
+static void resample_range(const float* x, int64_t n, int64_t l, int64_t m,
+                           const PhaseBank* bank, float* out,
+                           int64_t k0, int64_t k1, int64_t fast) {
     for (int64_t ki = k0; ki < k1; ++ki) {
         const int64_t km = ki * m;
         const int64_t p = (l - (km % l)) % l;
-        int64_t xi = (km + p) / l;
-        float sum = 0.0f;
-        for (int64_t j = p; j <= jmax; j += l, ++xi) {
-            if (xi < n) sum += coeff[j] * x[xi];
+        const int64_t xi0 = (km + p) / l;
+        const int64_t t_n = bank->tcount[p];
+        const float* tp = bank->taps.data() + p * bank->tmax;
+        float sum;
+        if (xi0 + t_n <= n) {
+            sum = fast ? dot_fast(tp, x + xi0, t_n)
+                       : dot_exact(tp, x + xi0, t_n);
+        } else {
+            // Tail windows: out-of-range samples contribute nothing
+            // (dsp.rs:256-263 treats them as absent).
+            const int64_t t_in = xi0 < n ? n - xi0 : 0;
+            sum = dot_exact(tp, x + xi0, t_in);
         }
         out[ki] = sum;
     }
@@ -64,9 +116,10 @@ static void resample_range(const float* x, int64_t n, int64_t l, int64_t m,
 
 int64_t apt_fast_resample(const float* x, int64_t n, int64_t l, int64_t m,
                           const float* coeff, int64_t k, float* out,
-                          int64_t out_len, int64_t threads) {
+                          int64_t out_len, int64_t threads, int64_t fast) {
+    const PhaseBank bank = build_bank(coeff, k, l);
     if (threads <= 1) {
-        resample_range(x, n, l, m, coeff, k, out, 0, out_len);
+        resample_range(x, n, l, m, &bank, out, 0, out_len, fast);
         return out_len;
     }
     std::vector<std::thread> pool;
@@ -75,7 +128,7 @@ int64_t apt_fast_resample(const float* x, int64_t n, int64_t l, int64_t m,
         const int64_t k0 = t * chunk;
         const int64_t k1 = std::min(out_len, k0 + chunk);
         if (k0 >= k1) break;
-        pool.emplace_back(resample_range, x, n, l, m, coeff, k, out, k0, k1);
+        pool.emplace_back(resample_range, x, n, l, m, &bank, out, k0, k1, fast);
     }
     for (auto& th : pool) th.join();
     return out_len;

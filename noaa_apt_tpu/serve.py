@@ -26,10 +26,10 @@ import numpy as np
 
 from . import err
 from .core.profiles import DecodeProfile, STANDARD
-from .graph.decode import Decoder
-from .graph.process import process
+from .graph.decode import Decoder, pad_bucket
+from .graph.process import finish_image, process
 from .io import wav
-from .types import Contrast, Rotate
+from .types import Contrast, ContrastKind, Rotate
 
 log = logging.getLogger(__name__)
 
@@ -98,30 +98,56 @@ def decode_fleet(
     orbit_for=None,
     sync: bool = True,
     ingest: str = "host",
-    loaders: int = 2,
-    encoders: int = 2,
+    loaders: int | None = None,
+    encoders: int | None = None,
+    png_compress_level: int = 1,
 ) -> FleetReport:
     """Decode many WAVs to PNGs with a load/compute/encode pipeline.
 
-    ``loaders`` host threads parse WAVs and (with ``ingest="host"``) run
-    the native C++ ingest resample for upcoming passes while the device
-    stage works on the current one; ``encoders`` threads run
+    ``loaders`` host threads parse WAVs, run the native C++ ingest
+    resample (``ingest="host"``; ``"host16"`` additionally quantizes the
+    work signal to i16+scale, halving upload bytes at ~90 dB SNR) and
+    pre-upload the padded buffer to the device, all overlapped with the
+    device stage working on earlier passes; ``encoders`` threads run
     post-processing (contrast fetch, overlay drawing, PNG encode) so a
-    map-overlay fleet doesn't serialize behind one encoder.  Device
+    map-overlay fleet doesn't serialize behind one encoder.  Thread
+    counts default to the host's core count (serving hosts can be
+    small; oversubscription was measured slower than serial).  Device
     work stays on one thread (a single Decoder's jit cache), so graphs
     compile once per length bucket.  Failures are isolated per pass.
+
+    ``png_compress_level``: zlib level for output PNGs (1 = fast; the
+    default 6 of PIL costs ~5x the encode CPU for ~25% smaller files).
 
     ``orbit_for``: optional callable ``Path -> OrbitSettings | None``
     evaluated per recording (each pass has its own reference time and
     satellite); overrides the static ``orbit``.
     """
+    import os
+
     from PIL import Image  # fail fast, not inside the encoder thread
 
+    ncores = os.cpu_count() or 2
+    if loaders is None:
+        loaders = max(1, min(3, ncores - 1))
+    if encoders is None:
+        encoders = max(1, min(2, ncores - 1))
     contrast = contrast or Contrast.from_percent(0.98)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     paths = [Path(p) for p in inputs]
     dec = Decoder(profile, ingest=ingest)
+
+    # Fused single-round-trip render (Decoder.decode_render) applies for
+    # every contrast except telemetry (whose wedge classification is a
+    # host step); levels follow process()'s rules (noaa_apt.rs:158-176).
+    fused_levels = None
+    if sync and contrast.kind == ContrastKind.PERCENT:
+        fused_levels = ("percent", contrast.percent)
+    elif sync and contrast.kind == ContrastKind.MINMAX:
+        fused_levels = ("minmax", 0.98)
+    elif sync and contrast.kind == ContrastKind.HISTOGRAM:
+        fused_levels = ("percent", 0.98) if color is not None else ("minmax", 0.98)
 
     loaded: "queue.Queue" = queue.Queue(maxsize=max(2, loaders))
     to_encode: "queue.Queue" = queue.Queue(maxsize=4)
@@ -142,9 +168,23 @@ def decode_fleet(
                 t0 = time.time()
                 signal, rate = wav.load_device_ready(p)
                 t1 = time.time()
-                # Host ingest runs here, overlapped with the device
-                # stage working on earlier passes.
-                work = dec._host_ingest(signal, rate) if ingest == "host" else None
+                # Ingest + device upload run here, overlapped with the
+                # device stage working on earlier passes.
+                if ingest in ("host", "host16"):
+                    work = dec.prepare_work(signal, rate, to_device=True)
+                elif fused_levels is not None:
+                    # Device ingest: pre-upload the raw recording; the
+                    # whole pipeline (input resample included) runs in
+                    # the fused device graph.
+                    import jax
+                    import jax.numpy as jnp
+
+                    n_pad = pad_bucket(len(signal))
+                    buf = np.zeros(n_pad, dtype=signal.dtype)
+                    buf[: len(signal)] = signal
+                    work = ("raw", jax.device_put(jnp.asarray(buf)), len(signal))
+                else:
+                    work = None
                 t2 = time.time()
                 loaded.put((i, p, signal, rate, work, None, t1 - t0, t2 - t1))
             except Exception as e:  # noqa: BLE001 - per-pass isolation
@@ -159,9 +199,12 @@ def decode_fleet(
             t0 = time.time()
             try:
                 orb = orbit_for(p) if orbit_for is not None else orbit
-                img = process(raw, contrast, rotate, color, orb, decoder=dec)
+                if isinstance(raw, np.ndarray):  # fused path: u8 gray rows
+                    img = finish_image(raw, contrast.kind, rotate, color, orb)
+                else:
+                    img = process(raw, contrast, rotate, color, orb, decoder=dec)
                 out = out_dir / (p.stem + ".png")
-                Image.fromarray(img).save(out)
+                Image.fromarray(img).save(out, compress_level=png_compress_level)
                 res_item.output_path = out
                 res_item.encode_s = time.time() - t0
                 res_item.seconds += res_item.encode_s
@@ -190,11 +233,23 @@ def decode_fleet(
                 continue
             t0 = time.time()
             try:
-                res = dec.decode(signal, rate, sync=sync, host_work=work)
-                res_item.n_rows = res.n_rows
-                res_item.device_s = time.time() - t0
-                res_item.seconds = res_item.device_s
-                to_encode.put((res_item, p, res))
+                if work is not None and fused_levels is not None:
+                    if isinstance(work, tuple):
+                        gray, _sync_pos = dec.decode_render_input(
+                            work[1], work[2], rate, *fused_levels
+                        )
+                    else:
+                        gray, _sync_pos = dec.decode_render(work, *fused_levels)
+                    res_item.n_rows = gray.shape[0]
+                    res_item.device_s = time.time() - t0
+                    res_item.seconds = res_item.device_s
+                    to_encode.put((res_item, p, gray))
+                else:
+                    res = dec.decode(signal, rate, sync=sync, host_work=work)
+                    res_item.n_rows = res.n_rows
+                    res_item.device_s = time.time() - t0
+                    res_item.seconds = res_item.device_s
+                    to_encode.put((res_item, p, res))
             except Exception as e:  # noqa: BLE001 - per-pass isolation
                 res_item.error = str(e)
                 log.warning("decode failed for %s: %s", p, e)

@@ -164,3 +164,91 @@ if __name__ == "__main__":
         " ".join(str(p) for p in sync_pos) + "\n"
     )
     print(f"wrote golden {u8.shape} with {len(sync_pos)} sync positions")
+
+
+def test_host16_quantized_ingest_near_lossless():
+    """ingest="host16" ships the work signal as i16+scale (half the
+    link bytes); the decoded image must be visually identical to the
+    f32 host-ingest path (>= 60 dB PSNR, i.e. far below the u8
+    quantization floor) and sync positions must not move."""
+    signal, _ = synth_recording(n_rows=24, sample_rate=48000, noise_db=15.0)
+    sig_i16 = np.clip(
+        np.round(signal / np.abs(signal).max() * 32767), -32768, 32767
+    ).astype(np.int16)
+
+    dec32 = Decoder(STANDARD, ingest="host")
+    dec16 = Decoder(STANDARD, ingest="host16")
+    r32 = dec32.decode(sig_i16, Rate(48000))
+    r16 = dec16.decode(sig_i16, Rate(48000))
+    assert r16.sync_positions == r32.sync_positions
+    a, b = r32.image_np(), r16.image_np()
+    scale = max(np.abs(a).max(), 1e-9)
+    mse = np.mean(((a - b) / scale * 255.0) ** 2)
+    psnr = 10 * np.log10(255.0**2 / mse) if mse > 0 else np.inf
+    assert psnr > 60.0, f"host16 PSNR vs f32 ingest: {psnr:.1f} dB"
+
+
+def test_work_payload_device_preupload_matches():
+    """A loader thread can pad + upload the work signal ahead of time
+    (WorkPayload with a device array); decode must accept it and match
+    the host-array path exactly."""
+    import jax.numpy as jnp
+
+    signal, _ = synth_recording(n_rows=16, sample_rate=11025)
+    dec = Decoder(STANDARD, ingest="host")
+    direct = dec.decode(signal, Rate(11025))
+
+    payload = dec.prepare_work(signal, Rate(11025), to_device=True)
+    assert payload is not None and payload.inv_scale is None
+    pre = dec.decode(signal, Rate(11025), host_work=payload)
+    assert pre.sync_positions == direct.sync_positions
+    np.testing.assert_array_equal(direct.image_np(), pre.image_np())
+
+    q = dec.prepare_work(signal, Rate(11025), quantize=True, to_device=True)
+    assert q.inv_scale is not None
+    assert q.data.dtype == jnp.int16
+    res_q = dec.decode(signal, Rate(11025), host_work=q)
+    assert res_q.n_rows == direct.n_rows
+
+
+@pytest.mark.parametrize("kind", ["percent", "minmax"])
+def test_fused_render_matches_two_step(kind):
+    """The single-round-trip serving path (decode_render) must produce
+    byte-identical u8 rows and identical sync positions to the regular
+    decode() + render_u8() pipeline, including the device percent
+    bucket-scan vs the host sequential scan."""
+    signal, _ = synth_recording(n_rows=20, sample_rate=48000, noise_db=14.0)
+    dec = Decoder(STANDARD, ingest="host")
+    res = dec.decode(signal, Rate(48000))
+    want = dec.render_u8(res, kind)
+
+    payload = dec.prepare_work(signal, Rate(48000))
+    gray, sync_pos = dec.decode_render(payload, contrast_kind=kind)
+    assert sync_pos == res.sync_positions
+    assert gray.shape == want.shape
+    np.testing.assert_array_equal(gray, want)
+
+
+def test_fused_render_quantized_payload():
+    signal, _ = synth_recording(n_rows=16, sample_rate=11025)
+    dec = Decoder(STANDARD, ingest="host16")
+    payload = dec.prepare_work(signal, Rate(11025), quantize=True, to_device=True)
+    gray, sync_pos = dec.decode_render(payload)
+    assert gray.shape[1] == PX_PER_ROW
+    assert gray.shape[0] >= 14
+    assert len(sync_pos) >= 15
+
+
+def test_fused_render_input_matches_two_step():
+    """The raw-input fused path (device-resident polyphase included)
+    must be byte-identical to decode() + render_u8()."""
+    signal, _ = synth_recording(n_rows=20, sample_rate=48000, noise_db=14.0)
+    sig_i16 = np.clip(
+        np.round(signal / np.abs(signal).max() * 32767), -32768, 32767
+    ).astype(np.int16)
+    dec = Decoder(STANDARD)
+    res = dec.decode(sig_i16, Rate(48000))
+    want = dec.render_u8(res, "percent")
+    gray, sync_pos = dec.decode_render_input(sig_i16, len(sig_i16), Rate(48000))
+    assert sync_pos == res.sync_positions
+    np.testing.assert_array_equal(gray, want)

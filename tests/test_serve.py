@@ -122,3 +122,28 @@ def test_fleet_isolates_unexpected_decode_errors(tmp_path):
     report = decode_fleet([good, weird], tmp_path / "out", ingest="device")
     assert len(report.ok) == 1
     assert len(report.failed) == 1
+
+
+def test_decode_fleet_fused_host16_matches_device_path(tmp_path):
+    """The fused single-round-trip serving path (host16 ingest +
+    decode_render) must produce PNGs pixel-close to the regular decode
+    path (i16 work quantization is ~90 dB SNR; u8 output differs by at
+    most 1 LSB in a handful of pixels)."""
+    from PIL import Image
+
+    paths = []
+    for seed in range(2):
+        sig, _ = synth_recording(n_rows=16, sample_rate=11025, noise_db=18.0, seed=seed)
+        p = tmp_path / f"pass_{seed}.wav"
+        wav.write_wav(p, sig, wav.WavSpec(1, 11025, 16, "int"))
+        paths.append(p)
+
+    rep_fused = decode_fleet(paths, tmp_path / "out16", ingest="host16")
+    rep_plain = decode_fleet(paths, tmp_path / "outdev", ingest="device")
+    assert not rep_fused.failed and not rep_plain.failed
+    for a, b in zip(rep_fused.ok, rep_plain.ok):
+        ia = np.asarray(Image.open(a.output_path)).astype(np.int16)
+        ib = np.asarray(Image.open(b.output_path)).astype(np.int16)
+        assert ia.shape == ib.shape
+        assert np.abs(ia - ib).max() <= 1
+        assert (ia != ib).mean() < 0.01
