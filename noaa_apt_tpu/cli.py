@@ -334,6 +334,46 @@ def inner_main(argv=None) -> int:
 
     signal, rate = wav.load_device_ready(args.input_filename)
 
+    from .types import ContrastKind
+
+    if (
+        args.sync
+        and not settings.export_wav
+        and not args.raw_out
+        and not (args.distributed and args.distributed > 1)
+        and contrast.kind in (ContrastKind.PERCENT, ContrastKind.MINMAX, ContrastKind.HISTOGRAM)
+    ):
+        # Fused single-round-trip path (decode through u8 levels in one
+        # device graph); colorize/overlay/rotate finish on the gray rows.
+        from .graph.decode import Decoder
+        from .graph.process import finish_image
+        from PIL import Image
+
+        decoder_obj = Decoder(profile, ingest=args.ingest)
+        if contrast.kind == ContrastKind.PERCENT:
+            levels = ("percent", contrast.percent)
+        elif contrast.kind == ContrastKind.HISTOGRAM and color_settings is not None:
+            levels = ("percent", 0.98)
+        else:
+            levels = ("minmax", 0.98)
+        context.status(0.1, f"Decoding (fused, {args.ingest} ingest)")
+        if args.ingest in ("host", "host16"):
+            payload = decoder_obj.prepare_work(signal, rate, context=context)
+        else:
+            payload = None
+        if payload is not None:
+            gray, _sync = decoder_obj.decode_render(payload, *levels)
+        else:
+            gray, _sync = decoder_obj.decode_render_input(signal, len(signal), rate, *levels)
+        context.status(0.5, "Generating image")
+        img = finish_image(
+            gray, contrast.kind, rotate, color_settings, orbit_settings, context
+        )
+        out = args.output or "./output.png"
+        Image.fromarray(img).save(out)
+        log.info("Saved %s", out)
+        return 0
+
     if settings.export_wav:
         # Step-export path runs the eager stage-by-stage pipeline.
         from .graph.debug import decode_with_steps
