@@ -91,18 +91,27 @@ def topology_mesh(n_data: int | None = None, n_seq: int | None = None):
             f"mesh {n_data}x{n_seq} exceeds {n_total} devices"
         )
     if n_proc > 1:
-        from jax.experimental import mesh_utils
-
         if n_data % n_proc != 0 or n_seq > n_local:
             raise ValueError(
                 f"multi-host mesh must keep seq within a host: "
                 f"data={n_data} (processes: {n_proc}), seq={n_seq} "
                 f"(local chips: {n_local})"
             )
-        dev = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(n_data // n_proc, n_seq),
-            dcn_mesh_shape=(n_proc, 1),
-        )
+        n_slices = len({getattr(d, "slice_index", 0) for d in jax.devices()})
+        if n_slices == n_proc:
+            # Real pod: let mesh_utils optimize the intra-slice layout.
+            from jax.experimental import mesh_utils
+
+            dev = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(n_data // n_proc, n_seq),
+                dcn_mesh_shape=(n_proc, 1),
+            )
+        else:
+            # No slice topology info (e.g. multi-process CPU, or hosts
+            # sharing a slice): group rows by owning process — the
+            # process boundary IS the DCN boundary.
+            ordered = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+            dev = np.array(ordered[: n_data * n_seq]).reshape(n_data, n_seq)
     else:
         dev = np.array(jax.devices()[: n_data * n_seq]).reshape(n_data, n_seq)
     return Mesh(dev, ("data", "seq"))

@@ -66,3 +66,50 @@ def test_global_batch_decode_matches_single():
     for r in results:
         assert r.sync_positions == single.sync_positions
         np.testing.assert_array_equal(single.image_np(), r.image_np())
+
+
+def test_two_process_distributed_fleet_and_global_batch(tmp_path):
+    """REAL multi-process coverage (not the degenerate case): two
+    jax.distributed processes on localhost split the fleet without
+    communicating and decode one global batch spanning both, bit-exact
+    vs single-chip in each process."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = Path(__file__).parent / "workers" / "dist_fleet_worker.py"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(Path(__file__).resolve().parent.parent)]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+        assert p.returncode == 0, out
+
+    shares = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("SHARE "):
+                _, pid, files = line.split(" ", 2)
+                shares[int(pid)] = files.split(",")
+        assert "OK" in out
+    # Disjoint, complete, deterministic partition.
+    assert sorted(shares[0] + shares[1]) == [f"pass{i}.wav" for i in range(5)]
+    assert not set(shares[0]) & set(shares[1])
