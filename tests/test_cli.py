@@ -106,6 +106,28 @@ def test_false_color_generates_palette(env):
     assert (env / "res" / "palettes" / "noaa-apt-daylight.png").exists()
 
 
+def test_false_color_vendored_palette_set(env):
+    """The shipped res/palettes set (processing.rs:108-157 consumers):
+    22 palettes, 256x256, and decoding with one actually colorizes."""
+    import noaa_apt_tpu
+
+    res = Path(noaa_apt_tpu.__file__).resolve().parent.parent / "res" / "palettes"
+    pngs = sorted(res.glob("*.png"))
+    assert len(pngs) == 22
+    from PIL import Image
+
+    for p in (res / "noaa-apt-daylight.png", res / "WXtoImg-NO.png"):
+        assert p in pngs and Image.open(p).size == (256, 256)
+
+    rc = inner_main([
+        "-q", "test_11025hz.wav", "-F",
+        "-P", str(res / "noaa-apt-daylight.png"), "-o", "fcv.png",
+    ])
+    assert rc == 0
+    img = np.asarray(Image.open("fcv.png").convert("RGB")).astype(int)
+    assert (np.abs(img[..., 0] - img[..., 1]) > 8).sum() > 1000  # colorized
+
+
 def test_profile_selection(env):
     assert inner_main(["-q", "test_11025hz.wav", "-p", "fast", "-o", "fast.png"]) == 0
     assert inner_main(["-q", "test_11025hz.wav", "-p", "slow", "-o", "slow.png"]) == 0
