@@ -1,9 +1,9 @@
 """Command-line interface.
 
 Behavioral contract: reference ``src/main.rs`` + ``src/config.rs``
-(flag set, defaults, mode dispatch, exit codes).  GUI mode maps to an
-error (the TPU build is headless; ``FeatureNotAvailable`` like the
-reference's no-gui builds, ``main.rs:64-71``).
+(flag set, defaults, mode dispatch, exit codes).  No input file opens
+the GUI (``main.rs:64-71``); on a headless host that raises
+``FeatureNotAvailable`` like the reference's no-gui builds.
 """
 
 from __future__ import annotations
@@ -113,10 +113,11 @@ def inner_main(argv=None) -> int:
     )
 
     if args.input_filename is None:
-        raise err.FeatureNotAvailableError(
-            "This TPU build has no GUI; pass an input file or use --help "
-            "to see available options."
-        )
+        # GUI mode (main.rs:64-71): no input file opens the window.
+        from . import gui
+
+        gui.main(bool(de.get("check_updates", True)), settings)
+        return 0
 
     if args.resample is not None:
         from .graph import resample_tool
