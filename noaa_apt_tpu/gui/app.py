@@ -408,7 +408,8 @@ class App:
         state = borrow_state()
         state.decoded_signal = None
         state.processed_image = None
-        state.decoder = None
+        # Keep state.decoder: compiled decode graphs survive mode
+        # switches (work.decode re-checks the profile before reuse).
         self.mode_frames["decode"].tkraise()
         self.widgets.dec_decode_button.set_sensitive(True)
         self.widgets.p_process_button.set_sensitive(False)

@@ -86,7 +86,8 @@ def decode() -> threading.Thread | None:
                 log.error("%s", result)
                 state.decoded_signal = None
                 state.processed_image = None
-                state.decoder = None
+                # state.decoder is kept: its compiled graphs stay valid
+                # and recompiling costs minutes on a remote-compile link.
                 misc.update_image()
                 return
 
@@ -94,7 +95,8 @@ def decode() -> threading.Thread | None:
             widgets.p_process_button.set_sensitive(True)
             state.decoded_signal = result
             state.processed_image = None
-            state.decoder = decoder
+            if decoder is not None:  # wav-steps decodes keep the cache
+                state.decoder = decoder
             misc.update_image()
 
             # Infer recording time and satellite from the filename and

@@ -115,6 +115,22 @@ def test_decode_once_process_many(gui):
     assert not np.array_equal(state.processed_image, first)
 
 
+def test_decoder_cache_survives_redecodes(gui):
+    """The live Decoder (compiled XLA graphs) is reused across decodes
+    and kept through failed ones — recompiles cost minutes on a
+    remote-compile link."""
+    widgets, state, _ = gui
+    _join(work.decode())
+    dec1 = state.decoder
+    assert dec1 is not None
+    _join(work.decode())
+    assert state.decoder is dec1
+    widgets.dec_input_chooser.set("missing.wav")
+    _join(work.decode())
+    assert widgets.info.kind == "error"
+    assert state.decoder is dec1
+
+
 def test_decode_no_input_error(gui):
     widgets, state, _ = gui
     widgets.dec_input_chooser.set(None)
