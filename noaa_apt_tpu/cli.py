@@ -19,7 +19,15 @@ from .core.frequency import Rate
 from .io import config as cfg
 from .io import misc, wav
 from .io.context import Context
-from .types import ColorSettings, Contrast, MapSettings, OrbitSettings, RefTime, Rotate, SatName
+from .types import (
+    SAT_IDS,
+    ColorSettings,
+    Contrast,
+    MapSettings,
+    OrbitSettings,
+    RefTime,
+    Rotate,
+)
 
 log = logging.getLogger("noaa_apt_tpu")
 
@@ -116,7 +124,7 @@ def inner_main(argv=None) -> int:
         # GUI mode (main.rs:64-71): no input file opens the window.
         from . import gui
 
-        gui.main(bool(de.get("check_updates", True)), settings)
+        gui.main(bool(de.get("check_updates", False)), settings)
         return 0
 
     if args.resample is not None:
@@ -175,8 +183,7 @@ def inner_main(argv=None) -> int:
 
     if args.sat is not None:
         try:
-            sat_name = {"noaa_15": SatName.NOAA_15, "noaa_18": SatName.NOAA_18,
-                        "noaa_19": SatName.NOAA_19}[args.sat]
+            sat_name = SAT_IDS[args.sat]
         except KeyError:
             print("Invalid provided satellite name")
             return 0

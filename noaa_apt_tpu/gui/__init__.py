@@ -17,14 +17,17 @@ def main(check_updates: bool, settings) -> None:
     """Start the GUI (reference ``gui::main``, gui/mod.rs:6 +
     gui.rs:48-60)."""
     try:
-        from .app import App
-    except Exception as e:  # tkinter missing entirely
+        import tkinter
+    except ImportError as e:  # tkinter missing entirely
         raise err.FeatureNotAvailableError(f"GUI not available: {e}")
+
+    from .app import App
 
     try:
         app = App(check_updates, settings)
-    except Exception as e:
-        # Typically tkinter.TclError: no $DISPLAY on a headless host.
+    except tkinter.TclError as e:
+        # The no-display signal; real programming errors propagate
+        # with their tracebacks instead of masquerading as this.
         raise err.FeatureNotAvailableError(
             f"Could not open a display for the GUI ({e}); pass an input "
             "file to decode headless, or run under a desktop session."

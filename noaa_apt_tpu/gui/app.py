@@ -155,12 +155,21 @@ class App:
 
     # -- plumbing ------------------------------------------------------
     def _pump(self) -> None:
+        # Always reschedule, and never let one failing closure kill the
+        # pump — that would strand every future worker callback.
         try:
             while True:
-                self._idle.get_nowait()()
+                fn = self._idle.get_nowait()
+                try:
+                    fn()
+                except Exception:  # noqa: BLE001
+                    import logging
+
+                    logging.getLogger(__name__).exception("idle callback failed")
         except queue.Empty:
             pass
-        self.root.after(30, self._pump)
+        finally:
+            self.root.after(30, self._pump)
 
     # -- menu (gui.rs:485-593) ------------------------------------------
     def _build_menu(self) -> None:
@@ -406,10 +415,12 @@ class App:
         from .state import borrow_state
 
         state = borrow_state()
+        # The reference resets the working signal and image every time
+        # the Decode mode is selected (gui.rs:417-421); only the
+        # compiled-graph cache survives (work.decode re-checks the
+        # profile before reuse).
         state.decoded_signal = None
         state.processed_image = None
-        # Keep state.decoder: compiled decode graphs survive mode
-        # switches (work.decode re-checks the profile before reuse).
         self.mode_frames["decode"].tkraise()
         self.widgets.dec_decode_button.set_sensitive(True)
         self.widgets.p_process_button.set_sensitive(False)

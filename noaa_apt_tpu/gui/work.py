@@ -36,8 +36,8 @@ from .state import borrow_state, borrow_widgets
 
 log = logging.getLogger(__name__)
 
-_SAT_IDS = {"noaa_15": SatName.NOAA_15, "noaa_18": SatName.NOAA_18, "noaa_19": SatName.NOAA_19}
-_SAT_TO_ID = {v: k for k, v in _SAT_IDS.items()}
+from ..types import SAT_IDS as _SAT_IDS
+from ..types import SAT_TO_ID as _SAT_TO_ID
 
 
 def _progress_marshal():
@@ -59,14 +59,20 @@ def _set_datetime_widgets(widgets, calendar, hs, mins, secs, time: datetime) -> 
 
 
 def _read_datetime_widgets(calendar, hs, mins, secs) -> datetime:
-    """Local calendar + spinners -> aware UTC datetime (work.rs:398-421)."""
-    year, month, day = calendar.get()
+    """Local calendar + spinners -> aware UTC datetime (work.rs:398-421).
+
+    Everything is inside the try: Tk variables raise TclError (not
+    ValueError) when a spinbox holds non-numeric text, and buttons were
+    already set insensitive by the caller — an escaping exception would
+    strand them disabled.
+    """
     try:
+        year, month, day = calendar.get()
         local = datetime(
             int(year), int(month), int(day),
             int(hs.get()), int(mins.get()), int(secs.get()),
         )
-    except ValueError:
+    except Exception:  # noqa: BLE001 — any unparsable widget state
         raise err.InternalError("Invalid date or time")
     return local.astimezone()  # aware, local tz; orbit code compares in UTC
 
@@ -100,15 +106,9 @@ def decode() -> threading.Thread | None:
             misc.update_image()
 
             # Infer recording time and satellite from the filename and
-            # prefill the Process tab (work.rs:46-126).
-            input_filename = widgets.dec_input_chooser.get()
-            if not input_filename:
-                misc.show_info(
-                    "info",
-                    "Could not infer recording start date and time. "
-                    "Set it manually. No input file?",
-                )
-                return
+            # prefill the Process tab (work.rs:46-126).  Uses the
+            # filename captured when the decode started — the user may
+            # have edited the chooser while the worker ran.
             try:
                 ref_time, sat_name = io_misc.infer_time_sat(state.settings, input_filename)
             except err.AptError as e:
@@ -173,12 +173,33 @@ def decode() -> threading.Thread | None:
     return t
 
 
+_auto_update_pending = False
+
+
 def process_if_auto_update_enabled() -> threading.Thread | None:
     """Run process() on any Process-tab change when auto-update is on
-    (work.rs:205-213)."""
-    if borrow_widgets().p_auto_update_check.get():
-        return process()
-    return None
+    (work.rs:205-213).
+
+    Gated on the Process button's sensitivity so a burst of changes
+    (e.g. the decode callback prefilling eight widgets) can't spawn
+    concurrent process() workers over half-updated state; the trailing
+    change re-runs once when the in-flight process finishes.
+    """
+    global _auto_update_pending
+    widgets = borrow_widgets()
+    if not widgets.p_auto_update_check.get():
+        return None
+    if not widgets.p_process_button.sensitive:
+        _auto_update_pending = True
+        return None
+    return process()
+
+
+def _rerun_if_auto_update_pending() -> None:
+    global _auto_update_pending
+    if _auto_update_pending:
+        _auto_update_pending = False
+        process_if_auto_update_enabled()
 
 
 def process() -> threading.Thread | None:
@@ -197,11 +218,12 @@ def process() -> threading.Thread | None:
                 log.error("%s", result)
                 state.processed_image = None
                 misc.update_image()
-                return
-            misc.set_progress(1.0, "Processed")
-            widgets.sav_save_button.set_sensitive(True)
-            state.processed_image = result
-            misc.update_image()
+            else:
+                misc.set_progress(1.0, "Processed")
+                widgets.sav_save_button.set_sensitive(True)
+                state.processed_image = result
+                misc.update_image()
+            _rerun_if_auto_update_pending()
 
         widgets.idle_add(apply)
 
@@ -361,6 +383,8 @@ def save() -> None:
         Image.fromarray(processed_image).save(output_filename)
     except Exception as e:  # noqa: BLE001
         misc.set_progress(1.0, "Error")
+        # Quirk kept: the reference shows save failures with Info
+        # severity, not Error (work.rs:535-541).
         misc.show_info("info", f"Error saving image: {e}")
         log.error("Error saving image: %s", e)
         return
@@ -393,9 +417,18 @@ def resample() -> threading.Thread | None:
         callback(err.InternalError("Select input file"))
         return None
     output_filename = widgets.res_output_entry.get()
+    if not output_filename:
+        # The reference lets this fail deep in the WAV writer; failing
+        # fast saves a full resample run before the inevitable error.
+        callback(err.InternalError("Select output filename"))
+        return None
     wav_steps = bool(widgets.res_wav_steps_check.get())
     resample_step = bool(widgets.res_resample_step_check.get())
-    output_rate = int(widgets.res_rate_spinner.get())
+    try:
+        output_rate = int(widgets.res_rate_spinner.get())
+    except Exception:  # noqa: BLE001 — Tk vars raise TclError on junk text
+        callback(err.InternalError("Invalid sample rate"))
+        return None
     settings = state.settings
     progress_callback = _progress_marshal()
 

@@ -57,6 +57,15 @@ class SatName(enum.Enum):
         return self.value
 
 
+# CLI/GUI option-id <-> SatName mapping (config.rs:590-613 ids).
+SAT_IDS = {
+    "noaa_15": SatName.NOAA_15,
+    "noaa_18": SatName.NOAA_18,
+    "noaa_19": SatName.NOAA_19,
+}
+SAT_TO_ID = {v: k for k, v in SAT_IDS.items()}
+
+
 @dataclass(frozen=True)
 class RefTime:
     """Recording start or end time (noaa_apt.rs:52-61)."""

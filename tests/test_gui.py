@@ -52,6 +52,7 @@ def gui(tmp_path, monkeypatch):
     set_widgets(widgets)
     set_state(state)
     widgets.dec_input_chooser.set(str(tmp_path / "rec.wav"))
+    work._auto_update_pending = False
     return widgets, state, tmp_path
 
 
@@ -201,6 +202,40 @@ def test_auto_update_triggers_process(gui):
     state.decoded_signal = None
     assert work.process_if_auto_update_enabled() is None  # errors via info bar
     assert "No decoded image?" in widgets.info.text
+
+
+def test_auto_update_gates_on_inflight_process(gui):
+    """Changes during an in-flight process don't spawn concurrent
+    workers; the trailing change re-runs once on completion."""
+    import time
+
+    widgets, state, _ = gui
+    state.decoded_signal = np.zeros(2080 * 12, np.float32)
+    widgets.p_rotate_combo.set("no")
+    widgets.p_auto_update_check.set(True)
+
+    widgets.p_process_button.set_sensitive(False)  # in-flight
+    assert work.process_if_auto_update_enabled() is None
+    assert work._auto_update_pending
+
+    # Completion re-enables the button and drains the pending flag.
+    widgets.p_process_button.set_sensitive(True)
+    work._rerun_if_auto_update_pending()
+    assert not work._auto_update_pending
+    for _ in range(600):
+        if state.processed_image is not None:
+            break
+        time.sleep(0.05)
+    assert state.processed_image is not None
+
+
+def test_resample_guards(gui):
+    widgets, state, tmp = gui
+    widgets.res_input_chooser.set(str(tmp / "rec.wav"))
+    widgets.res_output_entry.set("")
+    assert work.resample() is None
+    assert "Select output filename" in widgets.info.text
+    assert widgets.res_resample_button.sensitive
 
 
 def test_resample_tool(gui):
