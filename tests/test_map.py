@@ -98,6 +98,40 @@ def test_draw_map_on_synthetic_pass(tmp_path, monkeypatch):
     assert outside == 0
 
 
+def test_states_layer_drawn_when_present(tmp_path, monkeypatch):
+    """states.shp is optional (the upstream checkout strips it), but
+    when present it is drawn as polylines with the states color
+    (map.rs:135-152)."""
+    monkeypatch.setenv("NOAA_APT_RES_DIR", str(tmp_path))
+    (tmp_path / "shapefiles").mkdir()
+
+    sats = sg.parse_tle(TEST_TLE)
+    sat = sg.find_satellite(sats, "NOAA 19")
+    t0 = datetime.fromtimestamp(1580000000, tz=timezone.utc)
+    height = 120
+    from noaa_apt_tpu.geo.orbit import ground_track
+
+    track = ground_track(sat, RefTime.start(t0), height)
+    parts = [np.array([
+        [p[1] * 180 / math.pi + 1.0, p[0] * 180 / math.pi]
+        for p in track[0:height:5]
+    ])]
+    shp.write_parts(tmp_path / "shapefiles" / "states.shp", parts, shp.SHAPE_POLYLINE)
+
+    img = np.zeros((height, PX_PER_ROW, 4), np.uint8)
+    img[..., 3] = 255
+    draw_map(
+        img,
+        RefTime.start(t0),
+        MapSettings(states_color=(0, 200, 0, 255)),
+        SatName.NOAA_19,
+        TEST_TLE,
+    )
+    # Green states ink present (countries/lakes missing -> skipped).
+    green = (img[..., 1] > img[..., 0]) & (img[..., 1] > 0)
+    assert green.sum() > 50
+
+
 def _scalar_rasterize(img, segs, color):
     """The reference's sequential per-segment draw loop (map.rs:113-128),
     built from the scalar contract helpers — the oracle for the
