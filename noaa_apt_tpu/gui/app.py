@@ -353,24 +353,34 @@ class App:
         sav = ttk.Frame(nb)
         nb.add(sav, text="Save")
         self.btn_save = ttk.Button(sav, text="Save")
+        sav_tip = ttk.Label(sav, text="", wraplength=380)
         _grid_rows(sav, [
             ("Output PNG", _file_row(sav, w.sav_output_entry, save=True, title="Save image as")),
+            ("", sav_tip),
             ("", self.btn_save),
         ])
+        w.sav_output_entry.on_change(
+            lambda: self._show_tips(sav_tip, w.sav_output_entry.get(), ".png")
+        )
 
     def _build_resample_mode(self, parent) -> None:
         w = self.widgets
         f = ttk.LabelFrame(parent, text="Resample WAV")
         f.pack(fill="x", padx=8, pady=8)
         self.btn_resample = ttk.Button(f, text="Resample")
+        res_tip = ttk.Label(f, text="", wraplength=380)
         _grid_rows(f, [
             ("Input WAV", _file_row(f, w.res_input_chooser, title="Select input WAV")),
             ("Output WAV", _file_row(f, w.res_output_entry, save=True, title="Save WAV as")),
+            ("", res_tip),
             ("Rate (Hz)", _spin_row(f, w.res_rate_spinner, 1, 400000, int, 25, 8)),
             ("", _check(f, "Export WAV steps (debug)", w.res_wav_steps_check)),
             ("", _check(f, "Export resample step", w.res_resample_step_check)),
             ("", self.btn_resample),
         ])
+        w.res_output_entry.on_change(
+            lambda: self._show_tips(res_tip, w.res_output_entry.get(), ".wav")
+        )
 
     def _build_timestamp_mode(self, parent) -> None:
         w = self.widgets
@@ -390,6 +400,18 @@ class App:
             ("Write to", _file_row(f, w.ts_write_chooser, title="Select file")),
             ("", self.btn_ts_write),
         ])
+
+    def _show_tips(self, label, filename, extension) -> None:
+        """Render output-path tips under a save entry (gui.rs:258-319)."""
+        tips = misc.output_tips(filename, extension)
+        lines = []
+        if tips["folder"]:
+            lines.append(f"Saving in {tips['folder']}")
+        if tips["extension_warn"]:
+            lines.append(f"Warning: Missing {extension} extension in filename")
+        if tips["overwrite_warn"]:
+            lines.append("Warning: File already exists, it will be overwritten")
+        label.configure(text="\n".join(lines))
 
     # -- wiring (gui.rs:343-410) ---------------------------------------
     def _wire(self) -> None:

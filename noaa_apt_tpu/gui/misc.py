@@ -78,6 +78,25 @@ def scale_preview(image: np.ndarray, viewport: tuple, normal_size: bool) -> np.n
     return np.asarray(Image.fromarray(image).resize((out_w, out_h), Image.BILINEAR))
 
 
+def output_tips(output_filename: str | None, extension: str) -> dict:
+    """Tips for a save-path entry (gui.rs:258-319 ``configure_tips``):
+    where a relative path will land, a missing-extension warning, and
+    an overwrite warning."""
+    import os
+    from pathlib import Path
+
+    tips = {"folder": None, "extension_warn": False, "overwrite_warn": False}
+    if not output_filename:
+        return tips
+    if not os.path.isabs(output_filename):
+        tips["folder"] = str(Path.cwd())
+    if not output_filename.endswith(extension):
+        tips["extension_warn"] = True
+    if Path(output_filename).exists():
+        tips["overwrite_warn"] = True
+    return tips
+
+
 def update_image() -> None:
     """Update the right-pane preview from the processed image, or show
     the placeholder (gui/misc.rs:122-169)."""

@@ -329,6 +329,25 @@ def test_update_check_shows_info(gui, monkeypatch):
     assert "internet connection" in widgets.info.text
 
 
+def test_output_tips(tmp_path, monkeypatch):
+    """Save-entry tips (gui.rs:258-319): relative-path folder hint,
+    extension warning, overwrite warning."""
+    monkeypatch.chdir(tmp_path)
+    tips = gmisc.output_tips(None, ".png")
+    assert tips == {"folder": None, "extension_warn": False, "overwrite_warn": False}
+
+    tips = gmisc.output_tips("out.jpg", ".png")
+    assert tips["folder"] == str(tmp_path)
+    assert tips["extension_warn"]
+    assert not tips["overwrite_warn"]
+
+    (tmp_path / "out.png").write_bytes(b"x")
+    tips = gmisc.output_tips(str(tmp_path / "out.png"), ".png")
+    assert tips["folder"] is None
+    assert not tips["extension_warn"]
+    assert tips["overwrite_warn"]
+
+
 def test_scale_preview():
     img = np.zeros((100, 2080, 4), np.uint8)
     # Fit: downscale to viewport width
