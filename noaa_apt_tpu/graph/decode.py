@@ -120,6 +120,31 @@ class DecodeResult:
         return self.image_np().reshape(-1)
 
 
+@dataclass
+class PendingRender:
+    """A dispatched-but-not-fetched fused render.
+
+    XLA execution is asynchronous: the device arrays here are futures.
+    :meth:`get` performs the single synchronization (one grouped fetch)
+    and applies the decode guards.  A serving pipeline keeps its device
+    thread dispatching while other threads call :meth:`get`,
+    overlapping each pass's fetch round trip with the next pass's
+    compute (the reference has no analog — it is single-threaded)."""
+
+    arrays: tuple  # (u8, n_rows, peaks, k) device arrays
+
+    def get(self) -> tuple[np.ndarray, list[int]]:
+        u8, n_rows, peaks, k = jax.device_get(self.arrays)
+        n_rows = int(n_rows)
+        sync_pos = peaks[: int(k)].tolist()
+        log.info("Found %d sync frames", len(sync_pos))
+        if len(sync_pos) < 5:
+            raise err.InternalError(
+                "Found less than 5 sync frames, audio file is too short or too noisy"
+            )
+        return u8[:n_rows], sync_pos
+
+
 class Decoder:
     """Compiles and caches decode graphs per (length-bucket, rate)."""
 
@@ -569,12 +594,18 @@ class Decoder:
         payload: "WorkPayload",
         contrast_kind: str = "percent",
         pct: float = 0.98,
-    ) -> tuple[np.ndarray, list[int]]:
+        fetch: bool = True,
+    ) -> "tuple[np.ndarray, list[int]] | PendingRender":
         """Serving fast path: work payload -> (u8 gray rows, sync
         positions) with a single device round trip.  Levels per
         ``contrast_kind``: "percent" (the reference's bucket scan) or
         "minmax" (also the pre-levels for histogram equalization).
-        Exactly matches decode() + render_u8() (tested)."""
+        Exactly matches decode() + render_u8() (tested).
+
+        ``fetch=False`` returns a :class:`PendingRender` immediately
+        after dispatch (XLA execution is async); a pipeline can then
+        fetch from another thread, hiding the host-device round-trip
+        latency behind the next pass's dispatch."""
         spr = self.samples_per_work_row
         work_true = payload.work_true
         if work_true < 10 * spr:
@@ -591,17 +622,8 @@ class Decoder:
             wbuf[:work_true] = payload.data
             wdev = jnp.asarray(wbuf)
         inv_scale = np.float32(payload.inv_scale if quantized else 1.0)
-        u8, n_rows, peaks, k = step(wdev, inv_scale, np.int32(work_true))
-        # One synchronization point: everything fetched together.
-        u8, n_rows, peaks, k = jax.device_get((u8, n_rows, peaks, k))
-        n_rows = int(n_rows)
-        sync_pos = peaks[: int(k)].tolist()
-        log.info("Found %d sync frames", len(sync_pos))
-        if len(sync_pos) < 5:
-            raise err.InternalError(
-                "Found less than 5 sync frames, audio file is too short or too noisy"
-            )
-        return u8[:n_rows], sync_pos
+        pending = PendingRender(step(wdev, inv_scale, np.int32(work_true)))
+        return pending.get() if fetch else pending
 
     def decode_render_input(
         self,
@@ -610,7 +632,8 @@ class Decoder:
         input_rate: Rate,
         contrast_kind: str = "percent",
         pct: float = 0.98,
-    ) -> tuple[np.ndarray, list[int]]:
+        fetch: bool = True,
+    ) -> "tuple[np.ndarray, list[int]] | PendingRender":
         """Serving fast path from the RAW recording: everything —
         polyphase input resample included — runs on device in one jit
         with one fetch out.  ``signal`` may be a host array (unpadded)
@@ -637,15 +660,8 @@ class Decoder:
             raise err.InternalError(
                 "Got less than 10 rows of samples, audio file is too short"
             )
-        u8, n_rows, peaks, k = jax.device_get(step(x_dev, np.int32(work_true)))
-        n_rows = int(n_rows)
-        sync_pos = peaks[: int(k)].tolist()
-        log.info("Found %d sync frames", len(sync_pos))
-        if len(sync_pos) < 5:
-            raise err.InternalError(
-                "Found less than 5 sync frames, audio file is too short or too noisy"
-            )
-        return u8[:n_rows], sync_pos
+        pending = PendingRender(step(x_dev, np.int32(work_true)))
+        return pending.get() if fetch else pending
 
     # ------------------------------------------------------------------
     def decode(

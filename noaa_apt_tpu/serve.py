@@ -26,7 +26,7 @@ import numpy as np
 
 from . import err
 from .core.profiles import DecodeProfile, STANDARD
-from .graph.decode import Decoder, pad_bucket
+from .graph.decode import Decoder, PendingRender, pad_bucket
 from .graph.process import finish_image, process
 from .io import wav
 from .types import Contrast, ContrastKind, Rotate
@@ -199,8 +199,13 @@ def decode_fleet(
             t0 = time.time()
             try:
                 orb = orbit_for(p) if orbit_for is not None else orbit
-                if isinstance(raw, np.ndarray):  # fused path: u8 gray rows
-                    img = finish_image(raw, contrast.kind, rotate, color, orb)
+                if isinstance(raw, PendingRender):
+                    # Fused path: the device thread only dispatched;
+                    # fetch here so its round trip overlaps the device
+                    # thread's next dispatch.
+                    gray, _sync_pos = raw.get()
+                    res_item.n_rows = gray.shape[0]
+                    img = finish_image(gray, contrast.kind, rotate, color, orb)
                 else:
                     img = process(raw, contrast, rotate, color, orb, decoder=dec)
                 out = out_dir / (p.stem + ".png")
@@ -234,16 +239,18 @@ def decode_fleet(
             t0 = time.time()
             try:
                 if work is not None and fused_levels is not None:
+                    # Dispatch only (fetch=False): XLA runs async, so
+                    # the device thread moves straight to the next pass
+                    # while an encoder thread fetches this one.
                     if isinstance(work, tuple):
-                        gray, _sync_pos = dec.decode_render_input(
-                            work[1], work[2], rate, *fused_levels
+                        deferred = dec.decode_render_input(
+                            work[1], work[2], rate, *fused_levels, fetch=False
                         )
                     else:
-                        gray, _sync_pos = dec.decode_render(work, *fused_levels)
-                    res_item.n_rows = gray.shape[0]
-                    res_item.device_s = time.time() - t0
+                        deferred = dec.decode_render(work, *fused_levels, fetch=False)
+                    res_item.device_s = time.time() - t0  # dispatch time
                     res_item.seconds = res_item.device_s
-                    to_encode.put((res_item, p, gray))
+                    to_encode.put((res_item, p, deferred))
                 else:
                     res = dec.decode(signal, rate, sync=sync, host_work=work)
                     res_item.n_rows = res.n_rows
@@ -258,6 +265,13 @@ def decode_fleet(
             to_encode.put(None)
         for t in enc_threads:
             t.join()
+        # If the device loop died early, blocked loaders must be
+        # drained or their join deadlocks on the full queue.
+        while any(t.is_alive() for t in loader_threads):
+            try:
+                loaded.get_nowait()
+            except queue.Empty:
+                time.sleep(0.01)
         for t in loader_threads:
             t.join()
 

@@ -229,6 +229,39 @@ def test_fused_render_matches_two_step(kind):
     np.testing.assert_array_equal(gray, want)
 
 
+def test_fused_render_deferred_fetch_equivalent():
+    """fetch=False returns a PendingRender whose .get() (possibly from
+    another thread) equals the eager result — the fleet pipeline's
+    dispatch/fetch overlap must not change a single byte."""
+    import threading
+
+    from noaa_apt_tpu.graph.decode import PendingRender
+
+    signal, _ = synth_recording(n_rows=16, sample_rate=48000, noise_db=14.0)
+    dec = Decoder(STANDARD, ingest="host")
+    payload = dec.prepare_work(signal, Rate(48000))
+    want_gray, want_sync = dec.decode_render(payload, contrast_kind="percent")
+
+    pending = dec.decode_render(payload, contrast_kind="percent", fetch=False)
+    assert isinstance(pending, PendingRender)
+    out = {}
+    t = threading.Thread(target=lambda: out.update(zip(("g", "s"), pending.get())))
+    t.start()
+    t.join(120)
+    assert out["s"] == want_sync
+    np.testing.assert_array_equal(out["g"], want_gray)
+
+    sig_i16 = np.clip(
+        np.round(signal / np.abs(signal).max() * 32767), -32768, 32767
+    ).astype(np.int16)
+    dec2 = Decoder(STANDARD)
+    want2 = dec2.decode_render_input(sig_i16, len(sig_i16), Rate(48000))
+    pending2 = dec2.decode_render_input(sig_i16, len(sig_i16), Rate(48000), fetch=False)
+    got2 = pending2.get()
+    assert got2[1] == want2[1]
+    np.testing.assert_array_equal(got2[0], want2[0])
+
+
 def test_fused_render_quantized_payload():
     signal, _ = synth_recording(n_rows=16, sample_rate=11025)
     dec = Decoder(STANDARD, ingest="host16")
