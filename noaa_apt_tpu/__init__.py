@@ -24,6 +24,8 @@ Layer map (mirrors SURVEY.md section 7):
 - :mod:`noaa_apt_tpu.post`     image-space post-processing
 - :mod:`noaa_apt_tpu.geo`      SGP4, spherical trig, map overlay
 - :mod:`noaa_apt_tpu.io`       WAV/PNG/config/progress+step-export
+- :mod:`noaa_apt_tpu.serve`    pipelined many-pass fleet serving
+- :mod:`noaa_apt_tpu.gui`      tkinter GUI over a headless logic core
 """
 
 __version__ = "0.1.0"

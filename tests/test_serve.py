@@ -45,6 +45,32 @@ def _check_report(report):
     assert 0 < report.compile_variants <= 6
 
 
+def test_decode_fleet_mixed_rates(tmp_path):
+    """A heterogeneous fleet (11025 Hz and 48 kHz in one directory)
+    decodes every pass through the pipelined path; graph variants grow
+    with the (bucket, rate) pairs, not with the pass count, and the
+    count is reported for compile-cost observability."""
+    paths = []
+    for seed, rate in enumerate([11025, 48000, 11025, 48000]):
+        sig, _ = synth_recording(n_rows=16, sample_rate=rate, noise_db=18.0, seed=seed)
+        p = tmp_path / f"p{seed}_{rate}.wav"
+        wav.write_wav(p, sig, wav.WavSpec(1, rate, 16, "int"))
+        paths.append(p)
+    report = decode_fleet(paths, tmp_path / "out", ingest="host16")
+    assert len(report.ok) == 4 and not report.failed
+    for r in report.ok:
+        assert r.output_path.exists() and r.n_rows >= 14
+    # host16 ingest absorbs the rate difference on host, so the device
+    # graph is shared: variants stay bounded (often 1), never per-pass.
+    assert 1 <= report.compile_variants <= 8
+
+    # Device ingest compiles per (bucket, rate) instead — still bounded
+    # by the distinct pairs, not the pass count.
+    report_dev = decode_fleet(paths, tmp_path / "outdev", ingest="device")
+    assert len(report_dev.ok) == 4 and not report_dev.failed
+    assert 2 <= report_dev.compile_variants <= 8
+
+
 def test_cli_fleet_mode(tmp_path, monkeypatch):
     from noaa_apt_tpu.cli import inner_main
 
