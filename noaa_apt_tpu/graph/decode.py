@@ -464,9 +464,11 @@ class Decoder:
                 .set(peaks.astype(jnp.int32))[:max_rows_pad]
             )
 
-            gidx = pos[:, None] + jnp.arange(spr, dtype=jnp.int32)[None, :]
-            rows = f[jnp.clip(gidx, 0, w_pad - 1)]
-            img = rows[:, ::m_final]
+            # Gather only the samples that survive the work->4160
+            # decimation (every m_final-th): 1/m_final the gather bytes
+            # of fetching whole work-rate rows and slicing after.
+            gidx = pos[:, None] + jnp.arange(0, spr, m_final, dtype=jnp.int32)[None, :]
+            img = f[jnp.clip(gidx, 0, w_pad - 1)]
             img = img.at[0, 0].set(0.0)  # NoFilter causal-path quirk
 
             mask = jnp.arange(max_rows_pad, dtype=jnp.int32)[:, None] < n_rows
@@ -477,17 +479,37 @@ class Decoder:
                 bidx = jnp.trunc((img - mn) / rng * jnp.float32(1000.0))
                 bidx = jnp.clip(jnp.nan_to_num(bidx, nan=0.0), 0, 999).astype(jnp.int32)
                 bidx = jnp.where(mask, bidx, 1000)
-                hist = jnp.zeros(1001, jnp.int32).at[bidx.reshape(-1)].add(1)[:1000]
-                # scan_buckets (misc.rs:151-174) as cumsum + first-true:
-                # frac is monotone, and the reference's `elif` (low and
-                # high never share a bucket) becomes the +1 adjustment.
+                # scan_buckets (misc.rs:151-174) as binary search: the
+                # predicate frac(b) = f32(count(bidx <= b)) / n_px >
+                # thresh is monotone in b, and count(bidx <= b) equals
+                # cumsum(hist)[b] exactly, so the first-true bucket is
+                # bit-identical to the histogram scan — without the
+                # 1001-way scatter-add (slow on TPU; ten 10 MB
+                # reductions instead).  The reference's `elif` (low and
+                # high never share a bucket) stays the +1 adjustment.
                 n_px = (n_rows * PX_PER_ROW).astype(jnp.float32)
-                frac = jnp.cumsum(hist).astype(jnp.float32) / n_px
-                low_b = jnp.argmax(frac > remainder).astype(jnp.int32)
-                c2 = frac > hi_thresh
-                first2 = jnp.argmax(c2).astype(jnp.int32)
+                flat = bidx.reshape(-1)
+
+                def first_bucket(thresh):
+                    # Lower bound of pred over buckets [0, 1000); 1000
+                    # is the "none true" sentinel.
+                    def body(_, s):
+                        lo, hi = s
+                        mid = (lo + hi) // 2
+                        cnt = jnp.sum((flat <= mid).astype(jnp.int32))
+                        t = cnt.astype(jnp.float32) / n_px > thresh
+                        return jnp.where(t, lo, mid + 1), jnp.where(t, mid, hi)
+
+                    lo, _ = jax.lax.fori_loop(
+                        0, 10, body, (jnp.int32(0), jnp.int32(1000))
+                    )
+                    return lo
+
+                first1 = first_bucket(remainder)
+                low_b = jnp.where(first1 >= 1000, 0, first1)  # argmax-of-all-false -> 0
+                first2 = first_bucket(hi_thresh)
                 high_b = jnp.where(
-                    jnp.any(c2),
+                    first2 < 1000,
                     jnp.where(first2 == low_b, jnp.minimum(first2 + 1, 999), first2),
                     999,
                 )
