@@ -447,6 +447,11 @@ class Decoder:
 
         def tail(f, corr, work_true):
             n_valid = jnp.maximum(work_true - guard, 0)
+            # Jump-form greedy selector. A fully-vectorized alternative
+            # (settle table: sliding-window argmax + pointer doubling)
+            # was measured 2x SLOWER here — the md-window argmax inside
+            # the while_loop is ~3us/iteration on the VPU, cheaper than
+            # the table's full-length gathers.
             peaks, k = sy._find_sync_peaks_device(corr, n_valid, spr, md, max_peaks)
 
             # rows_pos = [p for p in sync_pos[:-1] if p + spr < work_true],

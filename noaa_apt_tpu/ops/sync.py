@@ -96,7 +96,9 @@ def find_sync_peaks(corr: np.ndarray, work_rate: Rate) -> list[int]:
         return native
 
     peaks_pos: list[int] = [0]
-    p, v = 0, 0.0
+    # The reference's i=0 iteration replaces the seed (0, 0.0) with
+    # (0, corr[0]) when positive (decode.rs:250-253).
+    p, v = 0, max(float(corr[0]), 0.0) if n > 0 else 0.0
     while True:
         # Replacement chain (the `elif corr > last` branch).
         while True:
@@ -169,7 +171,11 @@ def _find_sync_peaks_device(corr: jnp.ndarray, n_valid, spr: int, md: int, max_p
         return jax.lax.cond(improved, do_improve, do_append, None)
 
     peaks0 = jnp.zeros(max_peaks, dtype=jnp.int32)
-    state = (jnp.int32(0), jnp.float32(0.0), jnp.int32(1), jnp.array(False), peaks0)
+    # The reference's i=0 iteration replaces the seed (0, 0.0) with
+    # (0, corr[0]) when positive (decode.rs:250-253) — the chain's
+    # effective start value is max(corr[0], 0), not 0.
+    v0 = jnp.where(n > 0, jnp.maximum(padded[0], jnp.float32(0.0)), jnp.float32(0.0))
+    state = (jnp.int32(0), v0, jnp.int32(1), jnp.array(False), peaks0)
     _, _, k, _, peaks = jax.lax.while_loop(cond, body, state)
     return peaks, k
 

@@ -229,6 +229,73 @@ def test_find_sync_peaks_matches_reference_scan(seed):
     assert fast == ref
 
 
+@pytest.mark.parametrize("case", [
+    "noise", "planted", "ascending", "descending", "zeros", "ties",
+    "dropout", "short", "peak_at_zero", "negative_start",
+])
+def test_device_peak_backends_bit_equal(case):
+    """The settle-table device selector must match the jump-form device
+    selector, the host scan, and the literal reference transliteration
+    on adversarial shapes: monotone ramps (longest chains), exact ties
+    (first-argmax semantics), dead regions (forced appends), and
+    near-empty tails."""
+    from noaa_apt_tpu.ops.sync import _find_sync_peaks_device
+
+    wr = Rate(4160 * 2)
+    spr = 2080 * 2
+    rng = np.random.default_rng(hash(case) % 2**32)
+    n = spr * 6 + 1234
+    if case == "noise":
+        corr = rng.standard_normal(n).astype(np.float32)
+    elif case == "planted":
+        corr = rng.standard_normal(n).astype(np.float32)
+        for r in range(1, 5):
+            corr[r * spr + rng.integers(-30, 30)] += 40.0
+    elif case == "ascending":
+        corr = np.linspace(0, 100, n, dtype=np.float32)
+    elif case == "descending":
+        corr = np.linspace(100, 0, n, dtype=np.float32)
+    elif case == "zeros":
+        corr = np.zeros(n, np.float32)
+    elif case == "ties":
+        corr = np.tile(np.array([1.0, 3.0, 3.0, 2.0], np.float32), n // 4 + 1)[:n]
+    elif case == "dropout":
+        corr = np.full(n, -1.0, np.float32)
+        corr[5] = 7.0
+        corr[4 * spr + 17] = 9.0
+    elif case == "peak_at_zero":
+        # Recording starts exactly on a sync pulse: the reference's
+        # i=0 replacement makes 0 the first peak (decode.rs:250-253).
+        corr = rng.standard_normal(n).astype(np.float32)
+        corr[0] = 80.0
+    elif case == "negative_start":
+        corr = rng.standard_normal(n).astype(np.float32) - 5.0
+        corr[0] = -0.5
+    else:  # short: barely past the minimum
+        n = spr + 77
+        corr = rng.standard_normal(n).astype(np.float32)
+
+    ref = find_sync_peaks_reference(corr, wr)
+    host = find_sync_peaks(corr, wr)
+    md = spr * 8 // 10
+    max_peaks = max(16, n // spr + 16)
+    cd = jnp.asarray(corr)
+    pj, kj = _find_sync_peaks_device(cd, n, spr, md, max_peaks)
+    jump = np.asarray(pj[: int(kj)]).tolist()
+    assert host == ref
+    assert jump == ref
+    # The NumPy fallback (native scan unavailable) must agree too.
+    import noaa_apt_tpu.native as native_mod
+    import noaa_apt_tpu.ops.sync as sync_mod
+
+    orig = native_mod.find_sync_peaks_native
+    try:
+        native_mod.find_sync_peaks_native = lambda *a, **k: None
+        assert sync_mod.find_sync_peaks(corr, wr) == ref
+    finally:
+        native_mod.find_sync_peaks_native = orig
+
+
 def test_find_sync_peaks_dropout_forced_append():
     # A long dead (all -inf-ish) region forces synthesized peaks
     # (decode.rs:244-246).
