@@ -120,6 +120,42 @@ class DecodeResult:
         return self.image_np().reshape(-1)
 
 
+def _percent_bucket_search(flat_bidx, n_px, remainder, hi_thresh):
+    """scan_buckets (misc.rs:151-174) as binary search.
+
+    The predicate ``frac(b) = f32(count(bidx <= b)) / n_px > thresh``
+    is monotone in ``b``, and ``count(bidx <= b)`` equals
+    ``cumsum(hist)[b]`` exactly, so the first-true bucket is
+    bit-identical to the sequential histogram scan — without the
+    1001-way scatter-add (slow on TPU); ten count-reductions per
+    threshold instead.  The reference's ``elif`` (low and high never
+    share a bucket) stays the +1 adjustment.  Invalid pixels must be
+    pre-mapped to bucket 1000 so they never count.
+    """
+
+    def first_bucket(thresh):
+        # Lower bound over buckets [0, 1000); 1000 = "none true".
+        def body(_, s):
+            lo, hi = s
+            mid = (lo + hi) // 2
+            cnt = jnp.sum((flat_bidx <= mid).astype(jnp.int32))
+            t = cnt.astype(jnp.float32) / n_px > thresh
+            return jnp.where(t, lo, mid + 1), jnp.where(t, mid, hi)
+
+        lo, _ = jax.lax.fori_loop(0, 10, body, (jnp.int32(0), jnp.int32(1000)))
+        return lo
+
+    first1 = first_bucket(remainder)
+    low_b = jnp.where(first1 >= 1000, 0, first1)  # argmax-of-all-false -> 0
+    first2 = first_bucket(hi_thresh)
+    high_b = jnp.where(
+        first2 < 1000,
+        jnp.where(first2 == low_b, jnp.minimum(first2 + 1, 999), first2),
+        999,
+    )
+    return low_b, high_b
+
+
 @dataclass
 class PendingRender:
     """A dispatched-but-not-fetched fused render.
@@ -356,19 +392,35 @@ class Decoder:
     # -- device contrast + u8 rendering (tunnel/PCIe byte reduction) ---
     @staticmethod
     @jax.jit
-    def _levels_stage(img, n_rows):
-        """Masked min/max + the reference's 1000-bucket histogram
-        (misc.rs:129-149 semantics in f32), all on device; only 4 KB of
-        buckets crosses back for the sequential scan."""
+    def _minmax_stage(img, n_rows):
+        """Masked min/max over the valid rows, on device."""
+        mask = jnp.arange(img.shape[0], dtype=jnp.int32)[:, None] < n_rows
+        mn = jnp.min(jnp.where(mask, img, jnp.inf))
+        mx = jnp.max(jnp.where(mask, img, -jnp.inf))
+        return mn, mx
+
+    @staticmethod
+    @jax.jit
+    def _percent_levels_stage(img, n_rows, remainder, hi_thresh):
+        """Device percent buckets: the reference's 1000-bucket scan
+        (misc.rs:129-174) with the histogram+scan replaced by a
+        bit-identical binary search (see _percent_bucket_search).
+        Returns (mn, mx, low_b, high_b); the caller applies the final
+        bucket->level f32 arithmetic on host in scan_buckets' exact
+        operation order (device mul+add may fuse to FMA and round
+        differently by 1 ulp)."""
         mask = jnp.arange(img.shape[0], dtype=jnp.int32)[:, None] < n_rows
         mn = jnp.min(jnp.where(mask, img, jnp.inf))
         mx = jnp.max(jnp.where(mask, img, -jnp.inf))
         rng = mx - mn
-        idx = jnp.trunc((img - mn) / rng * jnp.float32(1000.0))
-        idx = jnp.clip(jnp.nan_to_num(idx, nan=0.0), 0, 999).astype(jnp.int32)
-        idx = jnp.where(mask, idx, 1000)  # masked rows -> overflow bucket
-        hist = jnp.zeros(1001, jnp.int32).at[idx.reshape(-1)].add(1)[:1000]
-        return mn, mx, hist
+        bidx = jnp.trunc((img - mn) / rng * jnp.float32(1000.0))
+        bidx = jnp.clip(jnp.nan_to_num(bidx, nan=0.0), 0, 999).astype(jnp.int32)
+        bidx = jnp.where(mask, bidx, 1000)  # masked rows -> overflow bucket
+        n_px = (n_rows * PX_PER_ROW).astype(jnp.float32)
+        low_b, high_b = _percent_bucket_search(
+            bidx.reshape(-1), n_px, remainder, hi_thresh
+        )
+        return mn, mx, low_b, high_b
 
     @staticmethod
     @jax.jit
@@ -405,20 +457,25 @@ class Decoder:
         host path (post.contrast) — the histogram uses identical f32
         bucket mapping and the same sequential scan.
         """
-        from ..post.contrast import scan_buckets
-
-        mn, mx, hist = Decoder._levels_stage(result.image, result.n_rows)
         if contrast_kind == "minmax":
+            mn, mx = Decoder._minmax_stage(result.image, np.int32(result.n_rows))
             low, high = float(np.float32(mn)), float(np.float32(mx))
         elif contrast_kind == "percent":
             remainder = np.float32((np.float32(1.0) - np.float32(pct)) / np.float32(2.0))
-            low, high = scan_buckets(
-                np.asarray(hist),
-                result.n_rows * PX_PER_ROW,
-                remainder,
-                np.float32(mn),
-                np.float32(np.float32(mx) - np.float32(mn)),
+            hi_thresh = np.float32(np.float32(1.0) - remainder)
+            mn, mx, low_b, high_b = jax.device_get(
+                Decoder._percent_levels_stage(
+                    result.image, np.int32(result.n_rows), remainder, hi_thresh
+                )
             )
+            # scan_buckets' exact f32 arithmetic (misc.rs:170-173).
+            total_range = np.float32(np.float32(mx) - np.float32(mn))
+            low = float(np.float32(
+                np.float32(int(low_b)) / np.float32(1000.0) * total_range + np.float32(mn)
+            ))
+            high = float(np.float32(
+                np.float32(int(high_b)) / np.float32(1000.0) * total_range + np.float32(mn)
+            ))
         else:
             raise err.InternalError(f"render_u8 does not handle contrast {contrast_kind!r}")
         return self.render_u8_levels(result, low, high)
@@ -484,39 +541,9 @@ class Decoder:
                 bidx = jnp.trunc((img - mn) / rng * jnp.float32(1000.0))
                 bidx = jnp.clip(jnp.nan_to_num(bidx, nan=0.0), 0, 999).astype(jnp.int32)
                 bidx = jnp.where(mask, bidx, 1000)
-                # scan_buckets (misc.rs:151-174) as binary search: the
-                # predicate frac(b) = f32(count(bidx <= b)) / n_px >
-                # thresh is monotone in b, and count(bidx <= b) equals
-                # cumsum(hist)[b] exactly, so the first-true bucket is
-                # bit-identical to the histogram scan — without the
-                # 1001-way scatter-add (slow on TPU; ten 10 MB
-                # reductions instead).  The reference's `elif` (low and
-                # high never share a bucket) stays the +1 adjustment.
                 n_px = (n_rows * PX_PER_ROW).astype(jnp.float32)
-                flat = bidx.reshape(-1)
-
-                def first_bucket(thresh):
-                    # Lower bound of pred over buckets [0, 1000); 1000
-                    # is the "none true" sentinel.
-                    def body(_, s):
-                        lo, hi = s
-                        mid = (lo + hi) // 2
-                        cnt = jnp.sum((flat <= mid).astype(jnp.int32))
-                        t = cnt.astype(jnp.float32) / n_px > thresh
-                        return jnp.where(t, lo, mid + 1), jnp.where(t, mid, hi)
-
-                    lo, _ = jax.lax.fori_loop(
-                        0, 10, body, (jnp.int32(0), jnp.int32(1000))
-                    )
-                    return lo
-
-                first1 = first_bucket(remainder)
-                low_b = jnp.where(first1 >= 1000, 0, first1)  # argmax-of-all-false -> 0
-                first2 = first_bucket(hi_thresh)
-                high_b = jnp.where(
-                    first2 < 1000,
-                    jnp.where(first2 == low_b, jnp.minimum(first2 + 1, 999), first2),
-                    999,
+                low_b, high_b = _percent_bucket_search(
+                    bidx.reshape(-1), n_px, remainder, hi_thresh
                 )
                 low = low_b.astype(jnp.float32) / jnp.float32(1000.0) * rng + mn
                 high = high_b.astype(jnp.float32) / jnp.float32(1000.0) * rng + mn
