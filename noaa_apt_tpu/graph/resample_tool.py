@@ -2,7 +2,9 @@
 
 Behavioral contract: reference ``src/resample.rs`` — load, resample
 with a lowpass at half the smaller rate, write 16-bit WAV, copy the
-modification timestamp.
+modification timestamp.  User-visible strings and progress fractions
+match the reference; the implementation below is organised as an
+announce-helper over the package's own load/resample/write layers.
 """
 
 from __future__ import annotations
@@ -21,6 +23,21 @@ from . import debug
 
 log = logging.getLogger(__name__)
 
+_EMPTY_OUTPUT = (
+    "Got zero samples after resampling, audio file too short or "
+    "output sampling frequency too low"
+)
+
+
+def _announce(context: Context, fraction: float, status: str, info: str | None = None):
+    """One log line + one progress tick, as the reference pairs
+    ``info!`` with ``context.status`` (resample.rs:24-63).  The log
+    text differs from the status line only where the reference's does
+    (the resample stage logs without the target rate)."""
+    if info != "":
+        log.info(info if info is not None else status)
+    context.status(fraction, status)
+
 
 def resample(
     context: Context,
@@ -29,35 +46,28 @@ def resample(
     output_filename,
     output_rate: int,
 ) -> None:
-    log.info("Reading WAV file")
-    context.status(0.0, "Reading WAV file")
+    out_rate = Rate(output_rate)
 
-    input_signal, spec = wav.load_wav(input_filename)
-    input_rate = Rate(spec.sample_rate)
-    timestamp = read_timestamp(input_filename)
+    _announce(context, 0.0, "Reading WAV file")
+    signal, spec = wav.load_wav(input_filename)
+    mtime = read_timestamp(input_filename)
+    context.step_signal("input", signal, Rate(spec.sample_rate))
 
-    context.step_signal("input", input_signal, input_rate)
-
-    log.info("Resampling")
-    context.status(0.2, f"Resampling to {output_rate}")
-
-    resampled = debug.resample(
-        context,
-        jnp.asarray(input_signal),
-        input_rate,
-        Rate(output_rate),
-        settings.wav_resample_atten,
-        Freq.from_pi_rad(settings.wav_resample_delta_freq),
-    )
-    resampled = np.asarray(resampled)
-    if resampled.size == 0:
-        raise err.InternalError(
-            "Got zero samples after resampling, audio file too short or "
-            "output sampling frequency too low"
+    _announce(context, 0.2, f"Resampling to {output_rate}", "Resampling")
+    out = np.asarray(
+        debug.resample(
+            context,
+            jnp.asarray(signal),
+            Rate(spec.sample_rate),
+            out_rate,
+            settings.wav_resample_atten,
+            Freq.from_pi_rad(settings.wav_resample_delta_freq),
         )
+    )
+    if not out.size:
+        raise err.InternalError(_EMPTY_OUTPUT)
 
-    log.info("Writing WAV to '%s'", output_filename)
-    context.status(0.8, f"Writing WAV to '{output_filename}'")
-    wav.write_wav(output_filename, resampled, wav.WavSpec(1, output_rate, 16, "int"))
-    write_timestamp(timestamp, output_filename)
-    context.status(1.0, "Finished")
+    _announce(context, 0.8, f"Writing WAV to '{output_filename}'")
+    wav.write_wav(output_filename, out, wav.WavSpec(1, output_rate, 16, "int"))
+    write_timestamp(mtime, output_filename)
+    _announce(context, 1.0, "Finished", "")
