@@ -17,10 +17,18 @@ and outputs with the same ``k mod l`` share a phase and advance their
 input window by exactly ``m`` samples.  Two TPU mappings are provided,
 both bit-equivalent to the reference up to f32 summation order:
 
-- **packed-kernel conv** (small ``l``): one
+- **block matmul** (``l > 1``, ``m`` not tiny): reshape the input into
+  ``m``-sample blocks and accumulate ``ceil(w/m)`` matmuls
+  ``blocks[b : b+n] @ K_b`` with ``K_b`` the ``[m, l]`` slice of the
+  packed-kernel matrix.  The product is ``[n_per_class, l]`` whose
+  row-major flatten IS the phase-interleaved output — no transpose.
+  This rides the MXU and avoids the ``[l, n]→[n, l]`` relayout that
+  dominates the packed-kernel conv (measured 240 ms → 32 ms for the
+  composed device ingest stage on a 10-min 48 kHz pass).
+- **packed-kernel conv** (``l == 1`` or tiny ``m``): one
   ``lax.conv_general_dilated`` with ``l`` output features and window
   stride ``m``; each feature row holds one phase's taps shifted to its
-  input offset.  XLA lowers this onto the MXU.
+  input offset.
 - **gather-dot** (large ``l``): gather ``[out_len, T]`` input windows
   and contract against per-output phase rows of the bank — pure VPU
   work, avoids materializing mostly-zero packed kernels.
@@ -72,7 +80,12 @@ def resample_plan(n_in: int, l: int, m: int, coeff: np.ndarray, out_len: int | N
         out_len = max(0, -(-(interpolated_len - offset) // m)) if interpolated_len > offset else 0
     t_max = (len(coeff) - 1 - 0) // l + 1  # taps per phase (upper bound)
     packed_w = m + t_max + 2
-    mode = "conv" if packed_w <= 512 or l <= 64 else "gather"
+    if packed_w <= 512 or l <= 64:
+        # Matmul needs l > 1 (l == 1 conv output is already flat) and a
+        # block size big enough that the per-dot overhead amortizes.
+        mode = "matmul" if l > 1 and m >= 16 else "conv"
+    else:
+        mode = "gather"
     return ResamplePlan(n_in, l, m, out_len, tuple(np.asarray(coeff, np.float32).tolist()), mode)
 
 
@@ -123,6 +136,48 @@ def _fast_resample_conv(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndarray:
     return y
 
 
+def _fast_resample_matmul(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndarray:
+    """Phase-interleaved output via block matmuls on the MXU.
+
+    Window ``i`` of every output class starts at input ``i*m``; class
+    ``c``'s taps sit at fixed column offsets ``s_c[c]..s_c[c]+t_taps``
+    inside the ``w``-wide window.  Splitting the window into
+    ``nblk = ceil(w/m)`` blocks of ``m`` gives
+
+        Y[i, c] = sum_b blocks[i+b] . K[b*m:(b+1)*m, c]
+
+    and ``Y.reshape(-1)[k] = y[k]`` directly (``k = i*l + c``).  The
+    tap→block split is position-independent, so sharded chunks and the
+    single-chip path accumulate in the same order (bit-identical).
+    """
+    p_c, s_c, bank, t_taps, _ = _phase_tables(plan)
+    l, m, out_len = plan.l, plan.m, plan.out_len
+    n_per_class = -(-out_len // l)
+
+    w = int(s_c.max()) + t_taps
+    nblk = -(-w // m)
+    km = np.zeros((nblk * m, l), dtype=np.float32)
+    for cc in range(l):
+        km[s_c[cc] : s_c[cc] + t_taps, cc] = bank[p_c[cc]]
+
+    # Right-pad so every window exists (zeros = the reference's
+    # out-of-range skip) and the length is a multiple of m.
+    need = (n_per_class - 1 + nblk) * m
+    pad_to = max(need, -(-plan.n_in // m) * m)
+    x = jnp.pad(x, (0, pad_to - plan.n_in))
+    blocks = x.reshape(-1, m)
+    kmj = jnp.asarray(km)
+    acc = None
+    for b in range(nblk):
+        part = jnp.dot(
+            blocks[b : b + n_per_class],
+            kmj[b * m : (b + 1) * m],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc = part if acc is None else acc + part
+    return acc.reshape(-1)[:out_len]
+
+
 def _fast_resample_gather(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndarray:
     p_c, s_c, bank, t_taps, _ = _phase_tables(plan)
     l, m, out_len = plan.l, plan.m, plan.out_len
@@ -153,6 +208,8 @@ def fast_resample(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndarray:
     """
     if plan.out_len == 0:
         return jnp.zeros((0,), dtype=x.dtype)
+    if plan.mode == "matmul":
+        return _fast_resample_matmul(x, plan)
     if plan.mode == "conv":
         return _fast_resample_conv(x, plan)
     return _fast_resample_gather(x, plan)

@@ -107,20 +107,20 @@ def test_fast_resample_matches_reference(l, m, k, n):
     np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
 
 
-def test_fast_resample_both_modes_agree():
+def test_fast_resample_all_modes_agree():
+    import dataclasses
+
     rng = np.random.default_rng(7)
     x = rng.standard_normal(2000).astype(np.float32)
     coeff = rng.standard_normal(301).astype(np.float32) / 301
     p1 = resample_plan(2000, 26, 100, coeff)
-    for mode in ("conv", "gather"):
-        object.__setattr__(p1, "mode", mode) if False else None
-    import dataclasses
-
-    pc = dataclasses.replace(p1, mode="conv")
-    pg = dataclasses.replace(p1, mode="gather")
-    yc = np.asarray(fast_resample(jnp.asarray(x), pc))
-    yg = np.asarray(fast_resample(jnp.asarray(x), pg))
-    np.testing.assert_allclose(yc, yg, rtol=2e-4, atol=2e-5)
+    assert p1.mode == "matmul"  # the default for decimation-style l>1 resamples
+    ys = {}
+    for mode in ("matmul", "conv", "gather"):
+        p = dataclasses.replace(p1, mode=mode)
+        ys[mode] = np.asarray(fast_resample(jnp.asarray(x), p))
+    np.testing.assert_allclose(ys["conv"], ys["gather"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(ys["matmul"], ys["conv"], rtol=2e-4, atol=2e-5)
 
 
 def test_fast_resample_coeff_longer_than_signal():
