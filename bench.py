@@ -14,9 +14,13 @@ with supplementary keys quantifying where the time goes:
   end-to-end single-pass realtime factors with the input polyphase on
   the host C++ path vs fully on-device (VERDICT r1 item 4: both
   recorded).
-- ``compute_only_x`` / ``lines_per_sec_per_chip``: throughput with
-  data already resident on the chip (only a scalar checksum fetched),
-  i.e. the decode engine itself with the host link out of the picture.
+- ``compute_only_x`` / ``lines_per_sec_per_chip``: the FULL fused
+  decode graph (device polyphase ingest included) with the raw i16
+  recording already resident and only a scalar checksum fetched —
+  the decode engine with the host link out of the picture.  Still
+  floored by one tunnel round trip (~25 ms); ``compute_pipelined_x``
+  dispatches 8 back-to-back with one sync and is the per-chip engine
+  throughput a pipelined server sees.
 - ``link``: measured tunnel bandwidth and the predicted minimum wall
   from bytes moved — when ``predicted_min_wall_s`` ~= the measured
   fleet wall, the host<->device link, not the engine, is the ceiling.
@@ -220,40 +224,54 @@ def main():
     )
     up_bytes = up_bytes_by_mode[best_mode]
 
-    # -- 5. compute-only: data resident on chip, scalar checksum out ---
+    # -- 5. compute-only: raw i16 resident on chip, scalar checksum out.
+    # The FULL fused decode graph (polyphase ingest -> demod/FIR/corr ->
+    # on-device greedy sync -> row gather -> percent levels -> u8), the
+    # same one jit the serving path dispatches; only two scalars come
+    # back over the link.
     work = dec._host_ingest(signal, rate)
-    w_pad = pad_bucket(len(work))
-    chain, guard_len = dec._get_work_chain(w_pad, True)
-    wbuf = np.zeros(w_pad, np.float32)
-    wbuf[: len(work)] = work
-    wbuf_dev = jax.device_put(jnp.asarray(wbuf))
-    spr = dec.samples_per_work_row
-    work_true = len(work)
+    n_pad_in = pad_bucket(len(signal))
+    xin = np.zeros(n_pad_in, np.int16)
+    xin[: len(signal)] = signal
+    xin_dev = jax.device_put(jnp.asarray(xin))
+    step_full, work_len_fn = dec_dev._get_fused_render_input(
+        n_pad_in, rate, "percent", 0.98, np.int16
+    )
+    work_true_in = np.int32(work_len_fn(len(signal)))
+
+    @jax.jit
+    def csum(x, wt):
+        u8, n_rows, peaks, k = step_full(x, wt)
+        return jnp.sum(u8.astype(jnp.int32)), n_rows
 
     def run_resident():
-        f_dev, corr_dev = chain(wbuf_dev)
-        sync_pos = dec._select_peaks(corr_dev, max(0, work_true - guard_len))
-        rows_pos = [p for p in sync_pos[:-1] if p + spr < work_true]
-        n_rows_pad = max(8, pad_bucket(len(rows_pos)))
-        pos = np.zeros(n_rows_pad, np.int32)
-        pos[: len(rows_pos)] = rows_pos
-        stage2 = dec._get_stage2(int(f_dev.shape[0]), n_rows_pad)
-        img = stage2(f_dev, jnp.asarray(pos))
-        u8 = Decoder._u8_stage(img, np.float32(0.0), np.float32(1.0))
-        return float(jnp.sum(jnp.asarray(u8, jnp.int32))), len(rows_pos)
+        s, n = csum(xin_dev, work_true_in)
+        return float(s), int(n)
 
     resident_wall = _time_runs(lambda: run_resident(), 2, 5, "compute-only")
     _, resident_rows = run_resident()
     compute_x = duration_s / resident_wall
     lines_per_sec = resident_rows / resident_wall
 
+    # Same graph dispatched 8x back-to-back with one sync at the end:
+    # XLA queues async, so the per-pass figure sheds the per-call
+    # host<->device round trip that floors run_resident() (measured
+    # ~25 ms RTT through the tunnel) and is the honest engine
+    # throughput for a pipelined server.
+    def run_resident_pipelined(k=8):
+        outs = [csum(xin_dev, work_true_in) for _ in range(k)]
+        for s, n in outs:
+            float(s)
+        return k
+
+    k_pipe = 8
+    pipe_wall = _time_runs(lambda: run_resident_pipelined(k_pipe), 1, 3, "compute-pipelined")
+    compute_pipe_x = duration_s * k_pipe / pipe_wall
+    lines_per_sec_pipe = resident_rows * k_pipe / pipe_wall
+
     # -- 6. on-device input resample evidence (VERDICT r1 item 4): the
-    # full device-ingest stage 1 (48 kHz polyphase conv -> demod -> FIR
-    # -> corr) with the raw i16 input already resident.
-    n_pad_in = pad_bucket(len(signal))
-    xin = np.zeros(n_pad_in, np.int16)
-    xin[: len(signal)] = signal
-    xin_dev = jax.device_put(jnp.asarray(xin))
+    # full device-ingest stage 1 (48 kHz polyphase matmul -> demod ->
+    # FIR -> corr) with the raw i16 input already resident.
     stage1_dev, _, _ = dec_dev._get_stage1(n_pad_in, rate, True, np.int16)
 
     def run_stage1_resident():
@@ -275,8 +293,10 @@ def main():
                 "single_pass_host_ingest_x": round(single_host, 1),
                 "single_pass_device_ingest_x": round(single_device, 1),
                 "compute_only_x": round(compute_x, 1),
+                "compute_pipelined_x": round(compute_pipe_x, 1),
                 "device_ingest_stage1_ms": round(stage1_ms, 1),
                 "lines_per_sec_per_chip": round(lines_per_sec, 0),
+                "lines_per_sec_per_chip_pipelined": round(lines_per_sec_pipe, 0),
                 "fleet_rows": total_rows,
                 "stages_s": stages,
                 "link": {
