@@ -132,15 +132,26 @@ def _find_sync_peaks_device(corr: jnp.ndarray, n_valid, spr: int, md: int, max_p
     reference scalar scan, ``decode.rs:236-254``): a ``while_loop``
     whose body either advances the current peak to the first argmax of
     the ``md``-window after it, or force-appends the next peak(s).
-    ~2 window reductions per image row — microseconds on the VPU — and
-    only the final peak list (a few KB) ever crosses back to the host.
+    Only the final peak list (a few KB) ever crosses back to the host.
+
+    The iteration count (~2/image row) is the cost driver on TPU — the
+    loop is dispatch-bound, not width-bound: a hierarchical block-max
+    argmax (less data, more ops/iteration) measured SLOWER than the
+    flat window argmax, so the body stays minimal.  The only hoistable
+    work, masking indices >= n_valid, happens once before the loop.
 
     ``n_valid`` is a traced scalar (true correlation length), so one
     compilation serves every recording in a length bucket.
     """
     neg = jnp.float32(-jnp.inf)
-    padded = jnp.concatenate([corr, jnp.full((md + 1,), neg, corr.dtype)])
     n = jnp.asarray(n_valid, jnp.int32)
+    L = corr.shape[0]
+    pm = jnp.concatenate(
+        [
+            jnp.where(jnp.arange(L) < n, corr, neg),
+            jnp.full((md + 1,), neg, corr.dtype),
+        ]
+    )
 
     def cond(state):
         _, _, _, done, _ = state
@@ -149,8 +160,7 @@ def _find_sync_peaks_device(corr: jnp.ndarray, n_valid, spr: int, md: int, max_p
     def body(state):
         p, v, k, _, peaks = state
         # Replacement chain step: first argmax of corr[(p, p+md]].
-        w = jax.lax.dynamic_slice(padded, (p + 1,), (md,))
-        w = jnp.where(p + 1 + jnp.arange(md) < n, w, neg)
+        w = jax.lax.dynamic_slice(pm, (p + 1,), (md,))
         q = jnp.argmax(w)
         improved = w[q] > v
 
@@ -165,7 +175,7 @@ def _find_sync_peaks_device(corr: jnp.ndarray, n_valid, spr: int, md: int, max_p
             idx = jnp.arange(max_peaks, dtype=jnp.int32)
             new_peaks = jnp.where((idx >= k) & (idx < k + appended), i0, peaks)
             new_k = k + appended
-            new_v = jnp.where(done, v, padded[jnp.minimum(i0, corr.shape[0] - 1)])
+            new_v = jnp.where(done, v, pm[jnp.minimum(i0, L - 1)])
             return jnp.where(done, p, i0), new_v, new_k, done, new_peaks
 
         return jax.lax.cond(improved, do_improve, do_append, None)
@@ -173,8 +183,9 @@ def _find_sync_peaks_device(corr: jnp.ndarray, n_valid, spr: int, md: int, max_p
     peaks0 = jnp.zeros(max_peaks, dtype=jnp.int32)
     # The reference's i=0 iteration replaces the seed (0, 0.0) with
     # (0, corr[0]) when positive (decode.rs:250-253) — the chain's
-    # effective start value is max(corr[0], 0), not 0.
-    v0 = jnp.where(n > 0, jnp.maximum(padded[0], jnp.float32(0.0)), jnp.float32(0.0))
+    # effective start value is max(corr[0], 0), not 0.  pm[0] is
+    # corr[0] masked by n > 0, which the outer where already handles.
+    v0 = jnp.where(n > 0, jnp.maximum(pm[0], jnp.float32(0.0)), jnp.float32(0.0))
     state = (jnp.int32(0), v0, jnp.int32(1), jnp.array(False), peaks0)
     _, _, k, _, peaks = jax.lax.while_loop(cond, body, state)
     return peaks, k
