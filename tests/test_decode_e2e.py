@@ -285,3 +285,37 @@ def test_fused_render_input_matches_two_step():
     gray, sync_pos = dec.decode_render_input(sig_i16, len(sig_i16), Rate(48000))
     assert sync_pos == res.sync_positions
     np.testing.assert_array_equal(gray, want)
+
+
+def test_batched_fused_render_matches_unbatched():
+    """One vmapped dispatch over a mixed-length batch must reproduce
+    each pass's unbatched fused render byte-for-byte (the batch pads
+    everyone to the largest member's bucket; zero padding = the
+    reference's out-of-range skip, so values are unaffected)."""
+    from noaa_apt_tpu.graph.decode import PendingRenderBatch
+
+    dec = Decoder(STANDARD)
+    sigs, trues = [], []
+    for i, rows in enumerate((20, 16, 24)):
+        s, _ = synth_recording(n_rows=rows, sample_rate=48000, noise_db=13.0, seed=i)
+        s16 = np.clip(
+            np.round(s / np.abs(s).max() * 32767), -32768, 32767
+        ).astype(np.int16)
+        sigs.append(s16)
+        trues.append(len(s16))
+
+    got = dec.decode_render_input_batch(sigs, trues, Rate(48000))
+    assert len(got) == 3
+    for s16, nt, out in zip(sigs, trues, got):
+        want_gray, want_sync = dec.decode_render_input(s16, nt, Rate(48000))
+        gray, sync_pos = out
+        assert sync_pos == want_sync
+        np.testing.assert_array_equal(gray, want_gray)
+
+    # Deferred-fetch variant returns the same thing.
+    pending = dec.decode_render_input_batch(sigs, trues, Rate(48000), fetch=False)
+    assert isinstance(pending, PendingRenderBatch)
+    got2 = pending.get()
+    for a, b in zip(got, got2):
+        assert a[1] == b[1]
+        np.testing.assert_array_equal(a[0], b[0])
