@@ -572,8 +572,19 @@ class Decoder:
                 low_b, high_b = _percent_bucket_search(
                     bidx.reshape(-1), n_px, remainder, hi_thresh
                 )
-                low = low_b.astype(jnp.float32) / jnp.float32(1000.0) * rng + mn
-                high = high_b.astype(jnp.float32) / jnp.float32(1000.0) * rng + mn
+                # scan_buckets' level arithmetic (misc.rs:170-173) must
+                # round exactly like the host path: TPU f32 division is
+                # NOT correctly rounded (b/1000 measured 1 ulp off
+                # IEEE), so the bucket fraction comes from a LUT of
+                # host-computed quotients; the barrier keeps XLA from
+                # fusing the remaining mul+add into an FMA that skips
+                # the intermediate rounding.  (Caught as a single
+                # off-by-one pixel on the slow profile.)
+                frac_lut = jnp.asarray(
+                    np.arange(1001, dtype=np.float32) / np.float32(1000.0)
+                )
+                low = jax.lax.optimization_barrier(frac_lut[low_b] * rng) + mn
+                high = jax.lax.optimization_barrier(frac_lut[high_b] * rng) + mn
             else:  # minmax / histogram-equalization pre-levels
                 low, high = mn, mx
 

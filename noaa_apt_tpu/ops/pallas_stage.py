@@ -74,9 +74,21 @@ def make_demod_fir_corr(
     ``n - len(template)`` are computed against zero padding, as the
     callers already mask.
     """
-    blk = block or BLOCK
     k = int(len(dcoeff))
     g = int(len(template))
+    blk = block
+    if blk is None:
+        # Scoped VMEM scales with blk x the number of unrolled tap /
+        # template shift-reads (k + g).  The standard profile
+        # (k+g = 151) fits a 64K block under the 16 MB scoped limit;
+        # the fast/slow profiles (195 / 251 reads) overflowed it, so
+        # halve the block until the product is back inside the
+        # measured budget.  Smaller blocks only add grid steps — the
+        # kernel is VPU-bound, throughput is unchanged.
+        blk = BLOCK
+        budget = 160 * BLOCK
+        while (k + g) * blk > budget and blk > 64 * LANES:
+            blk //= 2
 
     def _pow2_at_least(v: int) -> int:
         # Power of two, and at least 8 sublane rows (Mosaic block minimum).
