@@ -513,12 +513,16 @@ class Decoder:
         return np.asarray(u8[: result.n_rows])
 
     # -- fused serving path: one upload in, one fetch out --------------
-    def _fused_tail(self, w_pad: int, kind: str, pct: float):
+    def _fused_tail(self, w_pad: int, kind: str, pct: float, batch: bool = False):
         """Closure (f, corr, work_true) -> (u8, n_rows, peaks, k):
         on-device greedy sync -> row compaction/gather -> contrast
         levels (incl. the reference's 1000-bucket percent scan, run as
         cumsum+argmax) -> u8 map.  Shared by the work-domain and
-        input-domain fused render graphs."""
+        input-domain fused render graphs.
+
+        ``batch``: the closure will be vmapped — keep the XLA
+        while_loop selector (the Pallas kernel's sequential grid +
+        carried scratch does not vmap)."""
         carrier, demod_coeff, template = self._chain_params()
         guard = len(template)
         spr = self.samples_per_work_row
@@ -529,14 +533,25 @@ class Decoder:
         remainder = np.float32((np.float32(1.0) - np.float32(pct)) / np.float32(2.0))
         hi_thresh = np.float32(np.float32(1.0) - remainder)
 
+        use_psel = self._pallas_enabled() and not batch
+
         def tail(f, corr, work_true):
             n_valid = jnp.maximum(work_true - guard, 0)
-            # Jump-form greedy selector. A fully-vectorized alternative
-            # (settle table: sliding-window argmax + pointer doubling)
-            # was measured 2x SLOWER here — the md-window argmax inside
-            # the while_loop is ~3us/iteration on the VPU, cheaper than
-            # the table's full-length gathers.
-            peaks, k = sy._find_sync_peaks_device(corr, n_valid, spr, md, max_peaks)
+            if use_psel:
+                # Pallas selector: corr streams through VMEM, each
+                # greedy jump's window argmax is pure VPU work — ~4 ms
+                # vs ~17 ms for the XLA while_loop whose every window
+                # slice walks to HBM (ops/pallas_select.py).
+                from ..ops.pallas_select import select_peaks
+
+                peaks, k = select_peaks(corr, n_valid, spr, md, max_peaks)
+            else:
+                # Jump-form greedy selector. A fully-vectorized
+                # alternative (settle table: sliding-window argmax +
+                # pointer doubling) was measured 2x SLOWER here — the
+                # md-window argmax inside the while_loop is cheaper
+                # than the table's full-length gathers.
+                peaks, k = sy._find_sync_peaks_device(corr, n_valid, spr, md, max_peaks)
 
             # rows_pos = [p for p in sync_pos[:-1] if p + spr < work_true],
             # compacted to the front (decode.rs:122-134 gather semantics).
@@ -621,7 +636,7 @@ class Decoder:
         self._note_compile(key)
 
         carrier, demod_coeff, template = self._chain_params()
-        tail = self._fused_tail(w_pad, kind, pct)
+        tail = self._fused_tail(w_pad, kind, pct, batch=batch is not None)
 
         fused = None
         if self._pallas_enabled():
@@ -678,7 +693,7 @@ class Decoder:
         )
         w_pad = work_len_fn(n_pad)
         carrier, demod_coeff, template = self._chain_params()
-        tail = self._fused_tail(w_pad, kind, pct)
+        tail = self._fused_tail(w_pad, kind, pct, batch=batch is not None)
 
         fused = None
         if self._pallas_enabled():

@@ -193,11 +193,21 @@ def _find_sync_peaks_device(corr: jnp.ndarray, n_valid, spr: int, md: int, max_p
 
 def find_sync_peaks_device(corr_dev, n_valid: int, work_rate: Rate) -> list[int]:
     """On-device greedy selection over ``corr_dev[:n_valid]``; returns
-    the host peak list (a tiny fetch instead of the whole correlation)."""
+    the host peak list (a tiny fetch instead of the whole correlation).
+
+    On the TPU backend this runs the Pallas kernel (corr streams
+    through VMEM; ~4x the while_loop's speed — ops/pallas_select.py);
+    elsewhere the XLA jump-form while_loop.  Both are selected
+    peak-for-peak identically (tests/test_ops.py cross-checks)."""
     spr = _row_samples(work_rate.get_hz())
     md = spr * 8 // 10
     max_peaks = max(16, int(corr_dev.shape[0]) // spr + 16)
-    peaks, k = _find_sync_peaks_device(corr_dev, n_valid, spr, md, max_peaks)
+    if jax.default_backend() == "tpu":
+        from .pallas_select import select_peaks_jit
+
+        peaks, k = select_peaks_jit(corr_dev, n_valid, spr, md, max_peaks)
+    else:
+        peaks, k = _find_sync_peaks_device(corr_dev, n_valid, spr, md, max_peaks)
     k = int(k)
     return np.asarray(peaks[:k]).tolist()
 

@@ -284,6 +284,11 @@ def test_device_peak_backends_bit_equal(case):
     jump = np.asarray(pj[: int(kj)]).tolist()
     assert host == ref
     assert jump == ref
+    # Pallas kernel backend (interpreter mode on CPU).
+    from noaa_apt_tpu.ops.pallas_select import select_peaks
+
+    pp, kp = select_peaks(cd, n, spr, md, max_peaks, interpret=True)
+    assert np.asarray(pp[: int(kp)]).tolist() == ref
     # The NumPy fallback (native scan unavailable) must agree too.
     import noaa_apt_tpu.native as native_mod
     import noaa_apt_tpu.ops.sync as sync_mod
@@ -306,3 +311,33 @@ def test_find_sync_peaks_dropout_forced_append():
     fast = find_sync_peaks(corr, wr)
     ref = find_sync_peaks_reference(corr, wr)
     assert fast == ref
+
+@pytest.mark.parametrize("seed", range(3))
+def test_pallas_selector_chunk_boundaries(seed):
+    """The Pallas selector streams corr through VMEM in chunks; windows
+    straddling a chunk boundary read the lookahead block, and appends
+    that land beyond the current chunk defer their value load.  Force
+    tiny chunks so a random signal crosses many boundaries, and check
+    peak-for-peak equality with the host scan."""
+    from noaa_apt_tpu.ops.pallas_select import _NEG, make_select_peaks
+
+    wr = Rate(4160)
+    spr = 2080
+    md = spr * 8 // 10
+    block = 4096  # >= the md superwindow (3072 samples), far below default
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(block * 6, block * 9))
+    corr = rng.standard_normal(n).astype(np.float32)
+    if seed == 2:
+        # Dropout spanning several chunks: forced appends march across
+        # block boundaries and exercise the deferred-v path.
+        corr[block : block * 4] = -100.0
+    n_blocks = -(-n // block)
+    L_pad = n_blocks * block
+    pm = np.full(L_pad + block, _NEG, np.float32)
+    pm[:n] = corr
+    max_peaks = max(16, n // spr + 16)
+    sel = make_select_peaks(L_pad, spr, md, max_peaks, block, interpret=True)
+    peaks, k = sel(jnp.asarray(pm), n)
+    got = np.asarray(peaks[: int(k)]).tolist()
+    assert got == find_sync_peaks(corr, wr)
