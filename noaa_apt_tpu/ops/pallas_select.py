@@ -22,11 +22,14 @@ Kernel shape:
 - Each step sees its chunk plus the next one (two aligned BlockSpec
   inputs, the pallas_stage.py halo pattern), so an md-window starting
   anywhere in the chunk reads entirely from VMEM.
+- Positions at or past ``n_valid`` are masked with iota-vs-``n``
+  compares inside the window math — the input needs no -inf rewrite,
+  only a zero pad out to the last chunk's lookahead block, whose
+  contents the same masks exclude.
 - The jump loop body fuses one replacement-chain try (first argmax of
   ``corr[(p, p+md]]``) with the forced append that follows a failed
-  try — windows are masked to exact bounds with iota compares, and
-  first-occurrence argmax = masked max + min-index-of-max, matching
-  ``jnp.argmax`` tie semantics.
+  try — first-occurrence argmax = masked max + min-index-of-max,
+  matching ``jnp.argmax`` tie semantics.
 - The peak list accumulates in the (VMEM-resident) output block via
   masked vector updates; only [max_peaks] int32 ever returns to HBM.
 
@@ -67,20 +70,16 @@ def _pick_block(L: int, md: int) -> int:
     return b
 
 
-def make_select_peaks(L_pad: int, spr: int, md: int, max_peaks: int,
+def make_select_peaks(n_blocks: int, spr: int, md: int, max_peaks: int,
                       block: int, interpret: bool = False):
-    """Build ``fn(pm, n_valid) -> (peaks[i32 pr*128], k)``.
-
-    ``pm``: corr padded to ``L_pad + block`` samples with -inf beyond
-    ``n_valid`` (:func:`select_peaks` does this prep), ``L_pad`` a
-    multiple of ``block``.  The extra block feeds the last chunk's
-    lookahead.
-    """
-    key = (L_pad, spr, md, max_peaks, block, interpret)
+    """Build ``fn(corr2 [rows, 128], n_valid) -> (peaks[i32 pr*128], k)``
+    for a ``n_blocks``-chunk grid.  ``corr2`` must cover
+    ``(n_blocks + 1) * block`` samples (every chunk's lookahead block
+    must exist — see :func:`select_peaks`); pad contents are arbitrary,
+    the in-kernel ``n_valid`` masks exclude them."""
+    key = (n_blocks, spr, md, max_peaks, block, interpret)
     if key in _kernels:
         return _kernels[key]
-    assert L_pad % block == 0
-    n_blocks = L_pad // block
     br = block // LANES
     wr = _superwindow_rows(md)
     assert wr * LANES <= block, "superwindow must fit the lookahead block"
@@ -98,7 +97,7 @@ def make_select_peaks(L_pad: int, spr: int, md: int, max_peaks: int,
             sti[0] = 0  # p: current peak position
             sti[1] = 1  # k: peak count (seed peak at 0, decode.rs:236)
             sti[2] = 0  # done
-            sti[3] = 0  # pending: v must be loaded from pm[p]
+            sti[3] = 0  # pending: v must be loaded from corr[p]
 
         ext_s[:br, :] = body_ref[...]
         ext_s[br:, :] = head_ref[...]
@@ -106,8 +105,11 @@ def make_select_peaks(L_pad: int, spr: int, md: int, max_peaks: int,
         @pl.when(i == 0)
         def _():
             # The i=0 iteration replaces the seed (0, 0.0) when corr[0]
-            # is positive (decode.rs:250-253): start value max(pm[0], 0).
-            stf[0] = jnp.maximum(ext_s[0, 0], jnp.float32(0.0))
+            # is positive (decode.rs:250-253): start value max(corr[0], 0)
+            # — guarded against an empty correlation.
+            stf[0] = jnp.where(
+                n > 0, jnp.maximum(ext_s[0, 0], jnp.float32(0.0)), jnp.float32(0.0)
+            )
 
         rows_iota = jax.lax.broadcasted_iota(jnp.int32, (wr, LANES), 0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (wr, LANES), 1)
@@ -122,7 +124,7 @@ def make_select_peaks(L_pad: int, spr: int, md: int, max_peaks: int,
 
         def read_at(rel):
             # Scalar f32 at flat VMEM offset: aligned [8,128] tile +
-            # masked reduce.
+            # masked reduce.  Callers only pass offsets below n_valid.
             r8 = (rel // (8 * LANES)) * 8
             tile = ext_s[pl.ds(r8, 8), :]
             return jnp.sum(jnp.where(idx8 == rel - r8 * LANES, tile, 0.0))
@@ -139,13 +141,14 @@ def make_select_peaks(L_pad: int, spr: int, md: int, max_peaks: int,
             v = jnp.where(pending != 0, read_at(rel), v)
             pending = jnp.int32(0)
 
-            # Replacement-chain try: first argmax of pm[(p, p+md]]
+            # Replacement-chain try: first argmax of corr[(p, p+md]]
             # (the `elif corr > last` branch, decode.rs:250-253).
+            # Positions at or past n_valid are masked out here.
             a = rel + 1
             r8 = (a // (8 * LANES)) * 8
             w = ext_s[pl.ds(r8, wr), :]
             idx = r8 * LANES + rows_iota * LANES + lane_iota
-            valid = (idx >= a) & (idx < a + md)
+            valid = (idx >= a) & (idx < a + md) & (chunk_start + idx < n)
             wm = jnp.where(valid, w, _NEG)
             m = jnp.max(wm)
             q_rel = jnp.min(jnp.where(valid & (wm == m), idx, jnp.int32(2**30)))
@@ -169,8 +172,8 @@ def make_select_peaks(L_pad: int, spr: int, md: int, max_peaks: int,
 
             k1 = k + appended
             p2 = jnp.where(live, i0, p1)
-            # corr[i0] is only readable when i0 falls in this chunk's
-            # span; otherwise defer the load to the owning chunk.
+            # corr[i0] (i0 < n) is only readable when i0 falls in this
+            # chunk's span; otherwise defer the load to its owner.
             local = live & (i0 < chunk_end)
             off = jnp.where(local, i0 - chunk_start, 0)
             v2 = jnp.where(local, read_at(off), v1)
@@ -186,8 +189,7 @@ def make_select_peaks(L_pad: int, spr: int, md: int, max_peaks: int,
         stf[0] = v
         k_out[0] = k
 
-    def fn(pm: jnp.ndarray, n_valid):
-        pm2 = pm.reshape(-1, LANES)
+    def fn(corr2: jnp.ndarray, n_valid):
         nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
         peaks, k = pl.pallas_call(
             kernel,
@@ -211,7 +213,7 @@ def make_select_peaks(L_pad: int, spr: int, md: int, max_peaks: int,
                 pltpu.SMEM((1,), jnp.float32),
             ],
             interpret=interpret,
-        )(nv, pm2, pm2)
+        )(nv, corr2, corr2)
         return peaks.reshape(-1), k[0]
 
     _kernels[key] = fn
@@ -219,24 +221,28 @@ def make_select_peaks(L_pad: int, spr: int, md: int, max_peaks: int,
 
 
 def select_peaks(corr, n_valid, spr: int, md: int, max_peaks: int,
-                 interpret: bool = False):
+                 interpret: bool = False, block: int | None = None):
     """Traceable greedy selection over ``corr[:n_valid]``.
 
     Drop-in for ``sync._find_sync_peaks_device`` (same result tuple:
     int32 peak positions padded to ``max_peaks``, and the live count
     ``k``); ``n_valid`` is a traced scalar so one compilation serves a
-    whole length bucket.
+    whole length bucket.  The only data movement added is a pad to
+    whole 128-lane rows — validity is masked in-kernel.
     """
     L = int(corr.shape[0])
-    block = _pick_block(L, md)
+    if block is None:
+        block = _pick_block(L, md)
     n_blocks = max(1, -(-L // block))
-    L_pad = n_blocks * block
-    pm = jnp.full((L_pad + block,), _NEG, jnp.float32)
-    pm = pm.at[:L].set(
-        jnp.where(jnp.arange(L, dtype=jnp.int32) < jnp.asarray(n_valid, jnp.int32), corr, _NEG)
-    )
-    fn = make_select_peaks(L_pad, spr, md, max_peaks, block, interpret)
-    peaks, k = fn(pm, n_valid)
+    # Pad so the last chunk's lookahead block exists in full: a block
+    # whose start lies past the array end is an out-of-bounds DMA (it
+    # crashes the TPU runtime; index-map clamping only covers blocks
+    # that at least begin in bounds).  Zero fill — validity is masked
+    # against n_valid in-kernel.
+    pad = (n_blocks + 1) * block - L
+    corr2 = jnp.pad(corr, (0, pad)).reshape(-1, LANES)
+    fn = make_select_peaks(n_blocks, spr, md, max_peaks, block, interpret)
+    peaks, k = fn(corr2, n_valid)
     return peaks[:max_peaks], k
 
 

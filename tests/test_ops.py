@@ -319,7 +319,7 @@ def test_pallas_selector_chunk_boundaries(seed):
     that land beyond the current chunk defer their value load.  Force
     tiny chunks so a random signal crosses many boundaries, and check
     peak-for-peak equality with the host scan."""
-    from noaa_apt_tpu.ops.pallas_select import _NEG, make_select_peaks
+    from noaa_apt_tpu.ops.pallas_select import select_peaks
 
     wr = Rate(4160)
     spr = 2080
@@ -332,12 +332,11 @@ def test_pallas_selector_chunk_boundaries(seed):
         # Dropout spanning several chunks: forced appends march across
         # block boundaries and exercise the deferred-v path.
         corr[block : block * 4] = -100.0
-    n_blocks = -(-n // block)
-    L_pad = n_blocks * block
-    pm = np.full(L_pad + block, _NEG, np.float32)
-    pm[:n] = corr
     max_peaks = max(16, n // spr + 16)
-    sel = make_select_peaks(L_pad, spr, md, max_peaks, block, interpret=True)
-    peaks, k = sel(jnp.asarray(pm), n)
+    # n_valid below the array length: the tail must be masked in-kernel.
+    n_valid = n - 777
+    peaks, k = select_peaks(
+        jnp.asarray(corr), n_valid, spr, md, max_peaks, interpret=True, block=block
+    )
     got = np.asarray(peaks[: int(k)]).tolist()
-    assert got == find_sync_peaks(corr, wr)
+    assert got == find_sync_peaks(corr[:n_valid], wr)
