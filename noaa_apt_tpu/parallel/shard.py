@@ -62,16 +62,20 @@ class ShardedDecoder(Decoder):
         self.n_dev = mesh.shape[axis]
 
     # -- geometry ------------------------------------------------------
-    def _geometry(self, n_true: int, input_rate: Rate):
+    def _geometry(self, n_true: int, input_rate: Rate, align: int | None = None):
         g = math.gcd(input_rate.get_hz(), self.work_rate.get_hz())
         l = self.work_rate.get_hz() // g
         m = input_rate.get_hz() // g
         d = self.n_dev
-        # Per-device work-output count W: multiple of l so every chunk
-        # shares the polyphase phase pattern; input chunk Ci = W*m/l.
-        # +l margin guarantees n_pad = D*Ci >= n_true after rounding.
-        out_needed = pad_bucket(max(1, -(-n_true * l // m)) + l)
-        w = _ceil_to(_ceil_to(out_needed, d) // d, l)
+        # Per-device work-output count W: multiple of ``align`` — at
+        # least l (every chunk shares the polyphase phase pattern), and
+        # the packed-matmul row granularity J*l when that mode applies
+        # (rs.out_alignment), so chunk dot rows coincide with the
+        # single-chip ones bit-for-bit.  Input chunk Ci = W*m/l.
+        # +align margin guarantees n_pad = D*Ci >= n_true after rounding.
+        align = l if align is None else align
+        out_needed = pad_bucket(max(1, -(-n_true * l // m)) + align)
+        w = _ceil_to(_ceil_to(out_needed, d) // d, align)
         ci = w * m // l
         n_pad = d * ci
         return l, m, d, w, ci, n_pad
@@ -83,15 +87,17 @@ class ShardedDecoder(Decoder):
         self._note_compile(key)
 
         p = self.profile
-        l, m, d, w, ci, n_pad = self._geometry(n_true_key, input_rate)
+        gdiv = math.gcd(input_rate.get_hz(), self.work_rate.get_hz())
+        l0 = self.work_rate.get_hz() // gdiv
+        m0 = input_rate.get_hz() // gdiv
 
         filt = LowpassDcRemoval(
             cutout=Freq.hz(p.resample_cutout, input_rate),
             atten=p.resample_atten,
             delta_w=Freq.hz(p.resample_delta_freq, input_rate),
         )
-        if l > 1:
-            interpolated = input_rate.checked_mul(l)
+        if l0 > 1:
+            interpolated = input_rate.checked_mul(l0)
             if interpolated is None:
                 raise err.RateOverflowError("interpolated rate overflows u32")
             coeff = filt.resample(input_rate, interpolated).design()
@@ -101,6 +107,9 @@ class ShardedDecoder(Decoder):
             # (dsp.rs:105-123); sharded, each chunk filters with a
             # (K-1)-sample left halo and decimates in phase (Ci = W*m).
             coeff = filt.design()
+
+        align = rs.out_alignment(l0, m0, len(coeff))
+        l, m, d, w, ci, n_pad = self._geometry(n_true_key, input_rate, align)
 
         carrier = Freq.hz(float(CARRIER_FREQ), self.work_rate)
         cutout = Freq.from_pi_rad(
@@ -113,8 +122,11 @@ class ShardedDecoder(Decoder):
 
         k_d = len(demod_coeff)
         guard = len(template)
-        # Work-domain contexts, rounded to phase multiples of l.
-        l_ctx = _ceil_to(k_d + 1, l)
+        # Work-domain contexts.  The left context is rounded to the
+        # resampler's alignment (chunk-local output 0 sits at global
+        # dW - l_ctx, which must land on a packed-dot row boundary);
+        # the right context only needs phase (l) integrality.
+        l_ctx = _ceil_to(k_d + 1, align)
         g_ctx = _ceil_to(guard, l)
         # Input-domain halos.
         if l > 1:

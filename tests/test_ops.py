@@ -114,13 +114,16 @@ def test_fast_resample_all_modes_agree():
     x = rng.standard_normal(2000).astype(np.float32)
     coeff = rng.standard_normal(301).astype(np.float32) / 301
     p1 = resample_plan(2000, 26, 100, coeff)
-    assert p1.mode == "matmul"  # the default for decimation-style l>1 resamples
+    # The default for decimation-style l>1 resamples: the wide packed
+    # dot (J = 32 windows/row for m=100).
+    assert p1.mode == "matmul_packed" and p1.j_pack == 32
     ys = {}
-    for mode in ("matmul", "conv", "gather"):
+    for mode in ("matmul_packed", "matmul", "conv", "gather"):
         p = dataclasses.replace(p1, mode=mode)
         ys[mode] = np.asarray(fast_resample(jnp.asarray(x), p))
     np.testing.assert_allclose(ys["conv"], ys["gather"], rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(ys["matmul"], ys["conv"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(ys["matmul_packed"], ys["matmul"], rtol=2e-4, atol=2e-5)
 
 
 def test_fast_resample_coeff_longer_than_signal():
