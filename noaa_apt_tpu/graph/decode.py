@@ -241,10 +241,14 @@ class Decoder:
         self.work_rate = Rate(profile.work_rate)
         self.samples_per_work_row = PX_PER_ROW * profile.work_rate // FINAL_RATE
         self.peak_backend = peak_backend  # "device" | "host"
-        # Fused Pallas demod+FIR+corr kernel: ~17x over the XLA op chain
-        # on TPU; defaults on for the TPU backend, off elsewhere (the
-        # interpreter is correctness-only).
+        # TPU fast paths (fused chain + Pallas peak selector): default
+        # on for the TPU backend, off elsewhere (the Pallas interpreter
+        # is correctness-only).
         self.use_pallas = use_pallas
+        # Fused chain implementation: "banded" = MXU banded matmuls
+        # (ops/banded_chain.py, the fast default), "pallas" = the VPU
+        # kernel (ops/pallas_stage.py), kept for cross-checks.
+        self.chain_impl = "banded"
         # ingest="host": rate-convert to the work rate with the native
         # C++ polyphase before upload — ~4x fewer bytes to the device.
         # Worth it when the host<->device link is the bottleneck (e.g.
@@ -268,6 +272,26 @@ class Decoder:
         if self.use_pallas is not None:
             return self.use_pallas
         return jax.default_backend() == "tpu"
+
+    def _make_chain_fused(self, w_pad: int):
+        """The fused demod+FIR+corr stage for the TPU fast path, or
+        None for the portable op chain.
+
+        Default is the banded-MXU-matmul form (ops/banded_chain.py —
+        under the measurement floor per pass); ``chain_impl="pallas"``
+        selects the VPU Pallas kernel (ops/pallas_stage.py, ~2.5 ms)
+        for cross-checking."""
+        if not self._pallas_enabled():
+            return None
+        carrier, demod_coeff, template = self._chain_params()
+        cosphi2, sinphi = dm.demod_constants(carrier)
+        if self.chain_impl == "pallas":
+            from ..ops.pallas_stage import make_demod_fir_corr
+
+            return make_demod_fir_corr(demod_coeff, template, cosphi2, sinphi, w_pad)
+        from ..ops.banded_chain import make_demod_fir_corr_banded
+
+        return make_demod_fir_corr_banded(demod_coeff, template, cosphi2, sinphi, w_pad)
 
     def _select_peaks(self, corr_dev, n_corr_valid: int) -> list[int]:
         """Greedy sync selection: on-device while_loop by default (only
@@ -304,12 +328,7 @@ class Decoder:
         self._note_compile(key)
         carrier, demod_coeff, template = self._chain_params()
 
-        fused = None
-        if with_corr and self._pallas_enabled():
-            from ..ops.pallas_stage import make_demod_fir_corr
-
-            cosphi2, sinphi = dm.demod_constants(carrier)
-            fused = make_demod_fir_corr(demod_coeff, template, cosphi2, sinphi, n_work_pad)
+        fused = self._make_chain_fused(n_work_pad) if with_corr else None
 
         @jax.jit
         def chain(y, inv_scale=None):
@@ -385,14 +404,7 @@ class Decoder:
         )
         carrier, demod_coeff, template = self._chain_params()
 
-        fused = None
-        if with_corr and self._pallas_enabled():
-            from ..ops.pallas_stage import make_demod_fir_corr
-
-            cosphi2, sinphi = dm.demod_constants(carrier)
-            fused = make_demod_fir_corr(
-                demod_coeff, template, cosphi2, sinphi, work_len_fn(n_pad)
-            )
+        fused = self._make_chain_fused(work_len_fn(n_pad)) if with_corr else None
 
         @jax.jit
         def stage1(x):
@@ -648,13 +660,7 @@ class Decoder:
 
         carrier, demod_coeff, template = self._chain_params()
         tail = self._fused_tail(w_pad, kind, pct, batch=batch is not None)
-
-        fused = None
-        if self._pallas_enabled():
-            from ..ops.pallas_stage import make_demod_fir_corr
-
-            cosphi2, sinphi = dm.demod_constants(carrier)
-            fused = make_demod_fir_corr(demod_coeff, template, cosphi2, sinphi, w_pad)
+        fused = self._make_chain_fused(w_pad)
 
         def raw_step(y, inv_scale, work_true):
             if quantized:
@@ -705,13 +711,7 @@ class Decoder:
         w_pad = work_len_fn(n_pad)
         carrier, demod_coeff, template = self._chain_params()
         tail = self._fused_tail(w_pad, kind, pct, batch=batch is not None)
-
-        fused = None
-        if self._pallas_enabled():
-            from ..ops.pallas_stage import make_demod_fir_corr
-
-            cosphi2, sinphi = dm.demod_constants(carrier)
-            fused = make_demod_fir_corr(demod_coeff, template, cosphi2, sinphi, w_pad)
+        fused = self._make_chain_fused(w_pad)
 
         def raw_step(x, work_true):
             y = res_fn(x.astype(jnp.float32))
