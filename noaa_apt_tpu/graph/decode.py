@@ -225,6 +225,88 @@ class PendingRender:
         return u8[:n_rows], sync_pos
 
 
+@dataclass
+class PendingRenderTelemetryBatch:
+    """Batched :class:`PendingRenderTelemetry`: one grouped stats
+    fetch, per-pass wedge math on host, then ONE vmapped u8 dispatch
+    with the per-pass levels and one grouped image fetch.  Per-pass
+    guards (too few sync frames, recording too short for telemetry)
+    yield error entries without failing batchmates."""
+
+    arrays: tuple  # (img [B,R,W], n_rows [B], peaks, k, ma, mb, var)
+
+    def get(self) -> list["tuple[np.ndarray, list[int]] | err.AptError"]:
+        from ..post.telemetry import telemetry_from_stats
+
+        imgs = self.arrays[0]
+        n_rows, peaks, k, ma, mb, var = jax.device_get(self.arrays[1:])
+        metas: list = []
+        lows = np.zeros(imgs.shape[0], np.float32)
+        highs = np.full(imgs.shape[0], 255.0, np.float32)
+        for b in range(imgs.shape[0]):
+            nb = int(n_rows[b])
+            sync_pos = peaks[b, : int(k[b])].tolist()
+            log.info("Found %d sync frames", len(sync_pos))
+            if len(sync_pos) < 5:
+                metas.append(
+                    err.InternalError(
+                        "Found less than 5 sync frames, audio file is too short or too noisy"
+                    )
+                )
+                continue
+            try:
+                tel = telemetry_from_stats(ma[b, :nb], mb[b, :nb], var[b, :nb])
+            except err.AptError as e:
+                metas.append(e)
+                continue
+            lows[b] = np.float32(tel.get_wedge_value(9, None))
+            highs[b] = np.float32(tel.get_wedge_value(8, None))
+            metas.append((nb, sync_pos))
+        u8 = jax.device_get(jax.vmap(Decoder._u8_stage)(imgs, lows, highs))
+        return [
+            m if isinstance(m, err.AptError) else (u8[b, : m[0]], m[1])
+            for b, m in enumerate(metas)
+        ]
+
+
+@dataclass
+class PendingRenderTelemetry:
+    """A dispatched fused TELEMETRY-contrast render.
+
+    The decoded f32 image stays device-resident; only the per-row
+    telemetry band stats (3 x rows floats, ~15 KB) and the peak list
+    come back on the first fetch.  The wedge math — frame correlation,
+    quality argmax, 8-row wedge averaging, channel-name classification
+    (``telemetry.rs:30-117,125-243``) — runs on host byte-exactly as
+    the non-fused path, then the u8 map with the wedge-9/wedge-8 levels
+    (``noaa_apt.rs:144-147``) is dispatched against the resident image.
+    Total link traffic: one upload, one small stats fetch, one u8
+    fetch."""
+
+    arrays: tuple  # (img, n_rows, peaks, k, mean_a, mean_b, var)
+    context: object = None
+
+    def get(self) -> tuple[np.ndarray, list[int]]:
+        from ..post.telemetry import telemetry_from_stats
+
+        img = self.arrays[0]
+        n_rows, peaks, k, ma, mb, var = jax.device_get(self.arrays[1:])
+        n_rows = int(n_rows)
+        sync_pos = peaks[: int(k)].tolist()
+        log.info("Found %d sync frames", len(sync_pos))
+        if len(sync_pos) < 5:
+            raise err.InternalError(
+                "Found less than 5 sync frames, audio file is too short or too noisy"
+            )
+        telemetry = telemetry_from_stats(
+            ma[:n_rows], mb[:n_rows], var[:n_rows], self.context
+        )
+        low = telemetry.get_wedge_value(9, None)
+        high = telemetry.get_wedge_value(8, None)
+        u8 = Decoder._u8_stage(img, np.float32(low), np.float32(high))
+        return np.asarray(u8[:n_rows]), sync_pos
+
+
 class Decoder:
     """Compiles and caches decode graphs per (length-bucket, rate)."""
 
@@ -485,10 +567,10 @@ class Decoder:
         return jnp.floor(v + jnp.float32(0.5)).astype(jnp.uint8)
 
     @staticmethod
-    @jax.jit
-    def _telemetry_stats_stage(img):
-        """Per-row telemetry band means + pooled variance on device
-        (telemetry.rs:147-170); only [3, rows] floats cross back."""
+    def _telemetry_stats_body(img):
+        """Per-row telemetry band means + pooled variance
+        (telemetry.rs:147-170) — shared by the standalone stage and the
+        fused telemetry render so both produce identical floats."""
         a = img[:, 994 : 994 + 44]
         b = img[:, 2034 : 2034 + 44]
         mean_a = a.mean(axis=1)
@@ -498,6 +580,13 @@ class Decoder:
             + ((b - mean_b[:, None]) ** 2).sum(axis=1)
         ) / jnp.float32(88.0)
         return mean_a, mean_b, variance
+
+    @staticmethod
+    @jax.jit
+    def _telemetry_stats_stage(img):
+        """Device telemetry band stats; only [3, rows] floats cross
+        back."""
+        return Decoder._telemetry_stats_body(img)
 
     def telemetry_stats(self, result: "DecodeResult"):
         ma, mb, var = Decoder._telemetry_stats_stage(result.image)
@@ -597,6 +686,14 @@ class Decoder:
 
             img = _gather_rows(f, pos, spr, m_final, w_pad)
             img = img.at[0, 0].set(0.0)  # NoFilter causal-path quirk
+
+            if kind == "telemetry":
+                # Contrast levels come from the telemetry wedges, whose
+                # frame search + averaging is host work on tiny arrays
+                # (PendingRenderTelemetry): return the resident image
+                # plus per-row band stats instead of a u8 render.
+                ma, mb, var = Decoder._telemetry_stats_body(img)
+                return img, n_rows, peaks, k, ma, mb, var
 
             mask = jnp.arange(max_rows_pad, dtype=jnp.int32)[:, None] < n_rows
             mn = jnp.min(jnp.where(mask, img, jnp.inf))
@@ -737,14 +834,18 @@ class Decoder:
     ) -> "tuple[np.ndarray, list[int]] | PendingRender":
         """Serving fast path: work payload -> (u8 gray rows, sync
         positions) with a single device round trip.  Levels per
-        ``contrast_kind``: "percent" (the reference's bucket scan) or
-        "minmax" (also the pre-levels for histogram equalization).
-        Exactly matches decode() + render_u8() (tested).
+        ``contrast_kind``: "percent" (the reference's bucket scan),
+        "minmax" (also the pre-levels for histogram equalization), or
+        "telemetry" (wedge-calibrated: the image stays resident while
+        the tiny wedge math runs on host — see
+        :class:`PendingRenderTelemetry`).  Exactly matches decode() +
+        render_u8() / telemetry_stats() + render_u8_levels() (tested).
 
-        ``fetch=False`` returns a :class:`PendingRender` immediately
-        after dispatch (XLA execution is async); a pipeline can then
-        fetch from another thread, hiding the host-device round-trip
-        latency behind the next pass's dispatch."""
+        ``fetch=False`` returns a :class:`PendingRender` (or
+        :class:`PendingRenderTelemetry`) immediately after dispatch
+        (XLA execution is async); a pipeline can then fetch from
+        another thread, hiding the host-device round-trip latency
+        behind the next pass's dispatch."""
         spr = self.samples_per_work_row
         work_true = payload.work_true
         if work_true < 10 * spr:
@@ -761,7 +862,8 @@ class Decoder:
             wbuf[:work_true] = payload.data
             wdev = jnp.asarray(wbuf)
         inv_scale = np.float32(payload.inv_scale if quantized else 1.0)
-        pending = PendingRender(step(wdev, inv_scale, np.int32(work_true)))
+        cls = PendingRenderTelemetry if contrast_kind == "telemetry" else PendingRender
+        pending = cls(step(wdev, inv_scale, np.int32(work_true)))
         return pending.get() if fetch else pending
 
     def decode_render_input(
@@ -799,7 +901,8 @@ class Decoder:
             raise err.InternalError(
                 "Got less than 10 rows of samples, audio file is too short"
             )
-        pending = PendingRender(step(x_dev, np.int32(work_true)))
+        cls = PendingRenderTelemetry if contrast_kind == "telemetry" else PendingRender
+        pending = cls(step(x_dev, np.int32(work_true)))
         return pending.get() if fetch else pending
 
     def decode_render_input_batch(
@@ -848,7 +951,12 @@ class Decoder:
             raise err.InternalError(
                 "Got less than 10 rows of samples, audio file is too short"
             )
-        pending = PendingRenderBatch(step(jnp.asarray(buf), jnp.asarray(work_trues)))
+        bcls = (
+            PendingRenderTelemetryBatch
+            if contrast_kind == "telemetry"
+            else PendingRenderBatch
+        )
+        pending = bcls(step(jnp.asarray(buf), jnp.asarray(work_trues)))
         return pending.get() if fetch else pending
 
     # ------------------------------------------------------------------

@@ -26,7 +26,7 @@ import numpy as np
 
 from . import err
 from .core.profiles import DecodeProfile, STANDARD
-from .graph.decode import Decoder, PendingRender, pad_bucket
+from .graph.decode import Decoder, PendingRender, PendingRenderTelemetry, pad_bucket
 from .graph.process import finish_image, process
 from .io import wav
 from .types import Contrast, ContrastKind, Rotate
@@ -138,9 +138,11 @@ def decode_fleet(
     paths = [Path(p) for p in inputs]
     dec = Decoder(profile, ingest=ingest)
 
-    # Fused single-round-trip render (Decoder.decode_render) applies for
-    # every contrast except telemetry (whose wedge classification is a
-    # host step); levels follow process()'s rules (noaa_apt.rs:158-176).
+    # Fused low-round-trip render (Decoder.decode_render) applies to
+    # every contrast mode; levels follow process()'s rules
+    # (noaa_apt.rs:144-176).  Telemetry keeps the image resident while
+    # the wedge math runs on host between two small fetches
+    # (PendingRenderTelemetry).
     fused_levels = None
     if sync and contrast.kind == ContrastKind.PERCENT:
         fused_levels = ("percent", contrast.percent)
@@ -148,6 +150,8 @@ def decode_fleet(
         fused_levels = ("minmax", 0.98)
     elif sync and contrast.kind == ContrastKind.HISTOGRAM:
         fused_levels = ("percent", 0.98) if color is not None else ("minmax", 0.98)
+    elif sync and contrast.kind == ContrastKind.TELEMETRY:
+        fused_levels = ("telemetry", 0.98)
 
     loaded: "queue.Queue" = queue.Queue(maxsize=max(2, loaders))
     to_encode: "queue.Queue" = queue.Queue(maxsize=4)
@@ -199,7 +203,7 @@ def decode_fleet(
             t0 = time.time()
             try:
                 orb = orbit_for(p) if orbit_for is not None else orbit
-                if isinstance(raw, PendingRender):
+                if isinstance(raw, (PendingRender, PendingRenderTelemetry)):
                     # Fused path: the device thread only dispatched;
                     # fetch here so its round trip overlaps the device
                     # thread's next dispatch.

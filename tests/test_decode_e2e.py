@@ -287,6 +287,60 @@ def test_fused_render_input_matches_two_step():
     np.testing.assert_array_equal(gray, want)
 
 
+def test_fused_render_telemetry_matches_two_step():
+    """The telemetry-contrast fused serving path (image resident, wedge
+    math on host between two small fetches) must be byte-identical to
+    decode() + telemetry_stats() + render_u8_levels()."""
+    from noaa_apt_tpu.post.telemetry import telemetry_from_stats
+
+    signal, _ = synth_recording(n_rows=440, sample_rate=11025)
+    dec = Decoder(STANDARD, ingest="host")
+    res = dec.decode(signal, Rate(11025))
+    ma, mb, var = dec.telemetry_stats(res)
+    tel = telemetry_from_stats(ma, mb, var)
+    want = dec.render_u8_levels(
+        res, tel.get_wedge_value(9, None), tel.get_wedge_value(8, None)
+    )
+
+    payload = dec.prepare_work(signal, Rate(11025))
+    gray, sync_pos = dec.decode_render(payload, contrast_kind="telemetry")
+    assert sync_pos == res.sync_positions
+    np.testing.assert_array_equal(gray, want)
+
+    # Raw-input fused path (device polyphase included).
+    gray2, sync2 = dec.decode_render_input(
+        signal, len(signal), Rate(11025), contrast_kind="telemetry"
+    )
+    assert sync2 == res.sync_positions
+    np.testing.assert_array_equal(gray2, want)
+
+
+def test_batched_fused_telemetry_isolates_short_member():
+    """Batched telemetry render: per-pass wedge levels, and a member
+    too short for telemetry decoding yields an error entry without
+    failing its batchmates."""
+    from noaa_apt_tpu.err import AptError
+
+    dec = Decoder(STANDARD)
+    rows = (408, 104)  # second is >= 10 rows but < the 200-row telemetry frame span
+    sigs, trues = [], []
+    for i, r in enumerate(rows):
+        s, _ = synth_recording(n_rows=r, sample_rate=11025, seed=i)
+        sigs.append(s)
+        trues.append(len(s))
+    got = dec.decode_render_input_batch(
+        sigs, trues, Rate(11025), contrast_kind="telemetry"
+    )
+    assert len(got) == 2
+    want_gray, want_sync = dec.decode_render_input(
+        sigs[0], trues[0], Rate(11025), contrast_kind="telemetry"
+    )
+    gray, sync_pos = got[0]
+    assert sync_pos == want_sync
+    np.testing.assert_array_equal(gray, want_gray)
+    assert isinstance(got[1], AptError) and "too short" in str(got[1])
+
+
 def test_batched_fused_render_matches_unbatched():
     """One vmapped dispatch over a mixed-length batch must reproduce
     each pass's unbatched fused render byte-for-byte (the batch pads

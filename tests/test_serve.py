@@ -150,6 +150,39 @@ def test_fleet_isolates_unexpected_decode_errors(tmp_path):
     assert len(report.failed) == 1
 
 
+def test_decode_fleet_telemetry_contrast(tmp_path):
+    """Telemetry-calibrated contrast through the fused fleet path
+    (image resident on device, wedge math on host): PNGs must equal the
+    unfused decode()+process() telemetry result byte-exactly."""
+    from PIL import Image
+
+    from noaa_apt_tpu.core.frequency import Rate
+    from noaa_apt_tpu.core.profiles import STANDARD
+    from noaa_apt_tpu.graph.decode import Decoder
+    from noaa_apt_tpu.graph.process import process
+    from noaa_apt_tpu.types import Contrast, Rotate
+
+    paths = []
+    for seed in range(2):
+        sig, _ = synth_recording(n_rows=208, sample_rate=11025, noise_db=20.0, seed=seed)
+        p = tmp_path / f"pass_{seed}.wav"
+        wav.write_wav(p, sig, wav.WavSpec(1, 11025, 16, "int"))
+        paths.append(p)
+
+    report = decode_fleet(
+        paths, tmp_path / "out", contrast=Contrast.telemetry(), ingest="device"
+    )
+    assert not report.failed
+
+    dec = Decoder(STANDARD)
+    for r, p in zip(report.ok, paths):
+        signal, rate = wav.load_device_ready(p)
+        res = dec.decode(signal, rate)
+        want = process(res, Contrast.telemetry(), Rotate.NO, decoder=dec)
+        got = np.asarray(Image.open(r.output_path))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_decode_fleet_fused_host16_matches_device_path(tmp_path):
     """The fused single-round-trip serving path (host16 ingest +
     decode_render) must produce PNGs pixel-close to the regular decode
