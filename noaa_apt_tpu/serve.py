@@ -101,6 +101,7 @@ def decode_fleet(
     loaders: int | None = None,
     encoders: int | None = None,
     png_compress_level: int = 1,
+    gray_png: str = "auto",
 ) -> FleetReport:
     """Decode many WAVs to PNGs with a load/compute/encode pipeline.
 
@@ -118,6 +119,14 @@ def decode_fleet(
 
     ``png_compress_level``: zlib level for output PNGs (1 = fast; the
     default 6 of PIL costs ~5x the encode CPU for ~25% smaller files).
+
+    ``gray_png``: "auto" writes single-channel (mode L) PNGs when the
+    output carries no color information anyway — no false color, no
+    map overlay, no rotation, non-histogram contrast.  Pixel values
+    are identical to the RGBA encoding's R=G=B channels at a quarter
+    of the encode CPU and file size (encode is a top-2 host cost on
+    small serving hosts).  "never" keeps RGBA files byte-compatible
+    with the single-pass CLI output.
 
     ``orbit_for``: optional callable ``Path -> OrbitSettings | None``
     evaluated per recording (each pass has its own reference time and
@@ -209,7 +218,16 @@ def decode_fleet(
                     # thread's next dispatch.
                     gray, _sync_pos = raw.get()
                     res_item.n_rows = gray.shape[0]
-                    img = finish_image(gray, contrast.kind, rotate, color, orb)
+                    if (
+                        gray_png == "auto"
+                        and color is None
+                        and orb is None
+                        and rotate == Rotate.NO
+                        and contrast.kind != ContrastKind.HISTOGRAM
+                    ):
+                        img = gray  # mode-L PNG: same pixels, 1/4 the bytes
+                    else:
+                        img = finish_image(gray, contrast.kind, rotate, color, orb)
                 else:
                     img = process(raw, contrast, rotate, color, orb, decoder=dec)
                 out = out_dir / (p.stem + ".png")

@@ -180,7 +180,30 @@ def test_decode_fleet_telemetry_contrast(tmp_path):
         res = dec.decode(signal, rate)
         want = process(res, Contrast.telemetry(), Rotate.NO, decoder=dec)
         got = np.asarray(Image.open(r.output_path))
-        np.testing.assert_array_equal(got, want)
+        # gray_png="auto" writes a single-channel PNG; pixels must equal
+        # the RGBA path's (replicated) channels exactly.
+        assert got.ndim == 2
+        np.testing.assert_array_equal(got, want[..., 0])
+
+
+def test_decode_fleet_gray_png_modes(tmp_path):
+    """gray_png="never" keeps RGBA files identical to the CLI's output;
+    "auto" (default) writes mode-L PNGs with the same pixel values."""
+    from PIL import Image
+
+    sig, _ = synth_recording(n_rows=16, sample_rate=11025, noise_db=18.0)
+    p = tmp_path / "pass.wav"
+    wav.write_wav(p, sig, wav.WavSpec(1, 11025, 16, "int"))
+
+    rep_gray = decode_fleet([p], tmp_path / "out_gray", ingest="device")
+    rep_rgba = decode_fleet([p], tmp_path / "out_rgba", ingest="device", gray_png="never")
+    assert not rep_gray.failed and not rep_rgba.failed
+    g = np.asarray(Image.open(rep_gray.ok[0].output_path))
+    r = np.asarray(Image.open(rep_rgba.ok[0].output_path))
+    assert g.ndim == 2 and r.ndim == 3 and r.shape[2] == 4
+    for c in range(3):
+        np.testing.assert_array_equal(g, r[..., c])
+    assert (r[..., 3] == 255).all()
 
 
 def test_decode_fleet_fused_host16_matches_device_path(tmp_path):
