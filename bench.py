@@ -211,8 +211,10 @@ def main():
     }
     fleet_by_mode, stages_by_mode, wall_by_mode = {}, {}, {}
     total_rows = 0
+    # min-of-2: fleet walls vary +-2x run to run on this host (tunnel
+    # and 2-core CPU contention), so a single sample under-reports.
     for mode in ("device", "host16", "host"):
-        wall = _time_runs(lambda: run_fleet(mode), 1, 1, f"fleet/{mode}")
+        wall = _time_runs(lambda: run_fleet(mode), 1, 2, f"fleet/{mode}")
         fleet_by_mode[mode] = report.decoded_seconds / wall
         stages_by_mode[mode] = report.stage_totals()
         wall_by_mode[mode] = wall
