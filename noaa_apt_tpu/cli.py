@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
         "JAX runtime (jax.distributed) and decode only this process's share "
         "of the recordings; launch one process per host with the standard "
         "JAX coordinator environment."))
+    p.add_argument("--profile-trace", metavar="DIR", help=(
+        "TPU extension: record a JAX/XLA profiler trace of the whole run "
+        "(compiles, device kernels, host gaps) into DIR, viewable in "
+        "TensorBoard's profile plugin or Perfetto."))
     return p
 
 
@@ -102,6 +106,19 @@ def inner_main(argv=None) -> int:
     level = logging.DEBUG if args.debug else (logging.WARNING if args.quiet else logging.INFO)
     logging.basicConfig(level=level, format="%(levelname)s %(name)s: %(message)s")
 
+    if args.profile_trace:
+        # XPlane trace of the entire run — the TPU-native observability
+        # analog of the reference's step-export debugging (A1): where
+        # the reference dumps intermediate WAVs, an accelerator engine's
+        # questions are compile counts, kernel times, and host gaps.
+        import jax
+
+        with jax.profiler.trace(str(args.profile_trace)):
+            return _run(args)
+    return _run(args)
+
+
+def _run(args) -> int:
     de = cfg.load_de_settings()
 
     if args.version:
@@ -349,10 +366,17 @@ def inner_main(argv=None) -> int:
         and not settings.export_wav
         and not args.raw_out
         and not (args.distributed and args.distributed > 1)
-        and contrast.kind in (ContrastKind.PERCENT, ContrastKind.MINMAX, ContrastKind.HISTOGRAM)
+        and contrast.kind in (
+            ContrastKind.PERCENT,
+            ContrastKind.MINMAX,
+            ContrastKind.HISTOGRAM,
+            ContrastKind.TELEMETRY,
+        )
     ):
-        # Fused single-round-trip path (decode through u8 levels in one
-        # device graph); colorize/overlay/rotate finish on the gray rows.
+        # Fused low-round-trip path (decode through u8 levels in one
+        # device graph; telemetry keeps the image resident while the
+        # wedge math runs on host); colorize/overlay/rotate finish on
+        # the gray rows.
         from .graph.decode import Decoder
         from .graph.process import finish_image
         from PIL import Image
@@ -362,6 +386,8 @@ def inner_main(argv=None) -> int:
             levels = ("percent", contrast.percent)
         elif contrast.kind == ContrastKind.HISTOGRAM and color_settings is not None:
             levels = ("percent", 0.98)
+        elif contrast.kind == ContrastKind.TELEMETRY:
+            levels = ("telemetry", 0.98)
         else:
             levels = ("minmax", 0.98)
         context.status(0.1, f"Decoding (fused, {args.ingest} ingest)")

@@ -190,3 +190,39 @@ def test_filename_inference_prefills_orbit(env, caplog):
          "-R", "auto", "-o", "auto.png"]
     )
     assert rc == 0
+
+
+def test_profile_trace_flag(env):
+    """--profile-trace records an XPlane trace of the run."""
+    assert inner_main(
+        ["-q", "test_11025hz.wav", "-o", "t.png", "--profile-trace", "trace_out"]
+    ) == 0
+    assert Path("t.png").exists()
+    traces = list(Path("trace_out").rglob("*.xplane.pb")) + list(
+        Path("trace_out").rglob("*.trace.json*")
+    )
+    assert traces, "no profiler trace files written"
+
+
+def test_cli_telemetry_contrast_fused(env):
+    """-c telemetry goes through the fused path (decode + wedge
+    calibration with the image device-resident) and matches the
+    explicit decode()+process() result."""
+    from PIL import Image
+
+    from noaa_apt_tpu.core.frequency import Rate
+    from noaa_apt_tpu.core.profiles import STANDARD
+    from noaa_apt_tpu.graph.decode import Decoder
+    from noaa_apt_tpu.graph.process import process
+    from noaa_apt_tpu.types import Contrast, Rotate
+
+    sig, _ = synth_recording(n_rows=208, sample_rate=11025, noise_db=20.0)
+    wav.write_wav("tel.wav", sig, wav.WavSpec(1, 11025, 16, "int"))
+    assert inner_main(["-q", "tel.wav", "-c", "telemetry", "-o", "tel.png"]) == 0
+
+    signal, rate = wav.load_device_ready("tel.wav")
+    dec = Decoder(STANDARD)
+    res = dec.decode(signal, rate)
+    want = process(res, Contrast.telemetry(), Rotate.NO, decoder=dec)
+    got = np.asarray(Image.open("tel.png"))
+    np.testing.assert_array_equal(got, want)
