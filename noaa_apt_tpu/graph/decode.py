@@ -156,6 +156,25 @@ def _percent_bucket_search(flat_bidx, n_px, remainder, hi_thresh):
     return low_b, high_b
 
 
+def _seq_mul_add(a, b, c, opaque):
+    """``a*b + c`` with the product rounded to f32 BEFORE the add — the
+    reference's two-rounding order (``misc.rs:170-173``, Rust compiles
+    without FMA contraction).
+
+    XLA contracts mul+add into one correctly-rounded FMA even across
+    ``optimization_barrier`` (verified on the CPU backend: the barrier
+    survives HLO but LLVM codegen emits fmuladd), which skips the
+    intermediate rounding and shifted a percent level by 1 ulp — enough
+    to flip u8 pixels sitting exactly on the ``floor(v+0.5)`` knife
+    edge between the fused graph and the host path.  Routing the
+    product through a select on ``opaque >= 0`` — a runtime parameter
+    the compiler cannot prove non-negative — forces the f32 rounding on
+    every backend.  Pass a value that is always >= 0 at runtime (e.g.
+    ``work_true``)."""
+    m = jnp.where(opaque >= 0, a * b, jnp.float32(0.0))
+    return m + c
+
+
 def _gather_rows(f, pos, spr: int, m_final: int, w_pad: int):
     """Image rows from the filtered work signal: contiguous
     ``dynamic_slice`` per row + decimation (decode.rs:122-134 gather,
@@ -559,12 +578,23 @@ class Decoder:
         return mn, mx, low_b, high_b
 
     @staticmethod
-    @jax.jit
-    def _u8_stage(img, low, high):
-        """map_signal_u8 on device (noaa_apt.rs:249-259; round half-up)."""
+    def _map_u8_ops(img, low, high):
+        """map_signal_u8 (noaa_apt.rs:249-259; round half-up).
+
+        The op chain sub → div → mul → clamp → add-0.5 → floor has no
+        contractible mul+add pair (the clamp separates the ×255 from
+        the +0.5), so XLA compiles it with one rounding per op in every
+        graph — no pinning needed.  The knife-edge hazard lives in the
+        LEVEL arithmetic instead (see :func:`_seq_mul_add`)."""
         v = (img - low) / (high - low) * jnp.float32(255.0)
         v = jnp.minimum(jnp.maximum(v, 0.0), 255.0)
         return jnp.floor(v + jnp.float32(0.5)).astype(jnp.uint8)
+
+    @staticmethod
+    @jax.jit
+    def _u8_stage(img, low, high):
+        """map_signal_u8 on device; see :meth:`_map_u8_ops`."""
+        return Decoder._map_u8_ops(img, low, high)
 
     @staticmethod
     def _telemetry_stats_body(img):
@@ -711,21 +741,21 @@ class Decoder:
                 # round exactly like the host path: TPU f32 division is
                 # NOT correctly rounded (b/1000 measured 1 ulp off
                 # IEEE), so the bucket fraction comes from a LUT of
-                # host-computed quotients; the barrier keeps XLA from
-                # fusing the remaining mul+add into an FMA that skips
-                # the intermediate rounding.  (Caught as a single
-                # off-by-one pixel on the slow profile.)
+                # host-computed quotients; _seq_mul_add keeps the
+                # remaining mul+add from contracting into an FMA that
+                # skips the intermediate rounding.  (Each caught as a
+                # single off-by-one pixel: the FMA on the slow profile
+                # on TPU, and again on CPU where optimization_barrier
+                # does not block LLVM's contraction.)
                 frac_lut = jnp.asarray(
                     np.arange(1001, dtype=np.float32) / np.float32(1000.0)
                 )
-                low = jax.lax.optimization_barrier(frac_lut[low_b] * rng) + mn
-                high = jax.lax.optimization_barrier(frac_lut[high_b] * rng) + mn
+                low = _seq_mul_add(frac_lut[low_b], rng, mn, work_true)
+                high = _seq_mul_add(frac_lut[high_b], rng, mn, work_true)
             else:  # minmax / histogram-equalization pre-levels
                 low, high = mn, mx
 
-            v = (img - low) / (high - low) * jnp.float32(255.0)
-            v = jnp.minimum(jnp.maximum(v, 0.0), 255.0)
-            u8 = jnp.floor(v + jnp.float32(0.5)).astype(jnp.uint8)
+            u8 = Decoder._map_u8_ops(img, low, high)
             return u8, n_rows, peaks, k
 
         return tail
