@@ -100,3 +100,23 @@ def test_sharded_decode_reports_progress_and_rejects_host_work():
 
     with pytest.raises(InternalError, match="host_work"):
         dec.decode(signal, Rate(11025), host_work=np.zeros(200000, np.float32))
+
+
+def test_sharded_result_device_render_matches_single():
+    """The device contrast/u8 render paths (process with decoder=...)
+    must accept a sharded DecodeResult and match the single-chip device
+    path byte-for-byte."""
+    from noaa_apt_tpu.graph.process import process
+    from noaa_apt_tpu.types import Contrast, Rotate
+
+    signal, _ = synth_recording(n_rows=24, sample_rate=11025, noise_db=15.0)
+    rate = Rate(11025)
+    dec = Decoder(STANDARD)
+    sdec = ShardedDecoder(STANDARD, _mesh(4))
+    single = dec.decode(signal, rate)
+    sharded = sdec.decode(signal, rate)
+
+    for contrast in (Contrast.from_percent(0.98), Contrast.minmax()):
+        img_s = process(sharded, contrast, Rotate.NO, decoder=sdec)
+        img_1 = process(single, contrast, Rotate.NO, decoder=dec)
+        np.testing.assert_array_equal(img_s, img_1)
