@@ -93,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
         "JAX runtime (jax.distributed) and decode only this process's share "
         "of the recordings; launch one process per host with the standard "
         "JAX coordinator environment."))
+    p.add_argument("--fleet-png", choices=["auto", "rgba"], default="auto", help=(
+        "Fleet (directory) mode output format: 'auto' (default) writes "
+        "single-channel grayscale PNGs when the image carries no color "
+        "information (same pixels, 1/4 the encode cost and file size); "
+        "'rgba' keeps 4-channel files byte-compatible with single-file "
+        "mode."))
     p.add_argument("--profile-trace", metavar="DIR", help=(
         "TPU extension: record a JAX/XLA profiler trace of the whole run "
         "(compiles, device kernels, host gaps) into DIR, viewable in "
@@ -336,6 +342,7 @@ def _run(args) -> int:
             orbit_for=orbit_for,
             sync=args.sync,
             ingest=args.ingest,
+            gray_png="auto" if args.fleet_png == "auto" else "never",
         )
         print(
             f"fleet: {len(report.ok)} decoded, {len(report.failed)} failed, "

@@ -192,6 +192,26 @@ def _gather_rows(f, pos, spr: int, m_final: int, w_pad: int):
     return rows[:, ::m_final]
 
 
+def _check_sync_count(sync_pos: list) -> "err.AptError | None":
+    """The decode guard shared by every render path
+    (``decode.rs:112-118``)."""
+    log.info("Found %d sync frames", len(sync_pos))
+    if len(sync_pos) < 5:
+        return err.InternalError(
+            "Found less than 5 sync frames, audio file is too short or too noisy"
+        )
+    return None
+
+
+def _telemetry_levels(ma, mb, var, context=None) -> tuple[float, float]:
+    """Host wedge math -> (low, high) contrast levels: wedge 9 / wedge 8
+    averaged over both bands (``noaa_apt.rs:144-147``)."""
+    from ..post.telemetry import telemetry_from_stats
+
+    tel = telemetry_from_stats(ma, mb, var, context)
+    return tel.get_wedge_value(9, None), tel.get_wedge_value(8, None)
+
+
 @dataclass
 class PendingRenderBatch:
     """A dispatched-but-not-fetched BATCH of fused renders (one vmapped
@@ -207,15 +227,8 @@ class PendingRenderBatch:
         for b in range(u8.shape[0]):
             nb = int(n_rows[b])
             sync_pos = peaks[b, : int(k[b])].tolist()
-            log.info("Found %d sync frames", len(sync_pos))
-            if len(sync_pos) < 5:
-                out.append(
-                    err.InternalError(
-                        "Found less than 5 sync frames, audio file is too short or too noisy"
-                    )
-                )
-            else:
-                out.append((u8[b, :nb], sync_pos))
+            bad = _check_sync_count(sync_pos)
+            out.append(bad if bad is not None else (u8[b, :nb], sync_pos))
         return out
 
 
@@ -236,11 +249,9 @@ class PendingRender:
         u8, n_rows, peaks, k = jax.device_get(self.arrays)
         n_rows = int(n_rows)
         sync_pos = peaks[: int(k)].tolist()
-        log.info("Found %d sync frames", len(sync_pos))
-        if len(sync_pos) < 5:
-            raise err.InternalError(
-                "Found less than 5 sync frames, audio file is too short or too noisy"
-            )
+        bad = _check_sync_count(sync_pos)
+        if bad is not None:
+            raise bad
         return u8[:n_rows], sync_pos
 
 
@@ -255,9 +266,9 @@ class PendingRenderTelemetryBatch:
     arrays: tuple  # (img [B,R,W], n_rows [B], peaks, k, ma, mb, var)
 
     def get(self) -> list["tuple[np.ndarray, list[int]] | err.AptError"]:
-        from ..post.telemetry import telemetry_from_stats
-
         imgs = self.arrays[0]
+        if int(imgs.shape[0]) == 0:
+            return []
         n_rows, peaks, k, ma, mb, var = jax.device_get(self.arrays[1:])
         metas: list = []
         lows = np.zeros(imgs.shape[0], np.float32)
@@ -265,21 +276,17 @@ class PendingRenderTelemetryBatch:
         for b in range(imgs.shape[0]):
             nb = int(n_rows[b])
             sync_pos = peaks[b, : int(k[b])].tolist()
-            log.info("Found %d sync frames", len(sync_pos))
-            if len(sync_pos) < 5:
-                metas.append(
-                    err.InternalError(
-                        "Found less than 5 sync frames, audio file is too short or too noisy"
-                    )
-                )
+            bad = _check_sync_count(sync_pos)
+            if bad is not None:
+                metas.append(bad)
                 continue
             try:
-                tel = telemetry_from_stats(ma[b, :nb], mb[b, :nb], var[b, :nb])
+                low, high = _telemetry_levels(ma[b, :nb], mb[b, :nb], var[b, :nb])
             except err.AptError as e:
                 metas.append(e)
                 continue
-            lows[b] = np.float32(tel.get_wedge_value(9, None))
-            highs[b] = np.float32(tel.get_wedge_value(8, None))
+            lows[b] = np.float32(low)
+            highs[b] = np.float32(high)
             metas.append((nb, sync_pos))
         u8 = jax.device_get(jax.vmap(Decoder._u8_stage)(imgs, lows, highs))
         return [
@@ -303,25 +310,16 @@ class PendingRenderTelemetry:
     fetch."""
 
     arrays: tuple  # (img, n_rows, peaks, k, mean_a, mean_b, var)
-    context: object = None
 
     def get(self) -> tuple[np.ndarray, list[int]]:
-        from ..post.telemetry import telemetry_from_stats
-
         img = self.arrays[0]
         n_rows, peaks, k, ma, mb, var = jax.device_get(self.arrays[1:])
         n_rows = int(n_rows)
         sync_pos = peaks[: int(k)].tolist()
-        log.info("Found %d sync frames", len(sync_pos))
-        if len(sync_pos) < 5:
-            raise err.InternalError(
-                "Found less than 5 sync frames, audio file is too short or too noisy"
-            )
-        telemetry = telemetry_from_stats(
-            ma[:n_rows], mb[:n_rows], var[:n_rows], self.context
-        )
-        low = telemetry.get_wedge_value(9, None)
-        high = telemetry.get_wedge_value(8, None)
+        bad = _check_sync_count(sync_pos)
+        if bad is not None:
+            raise bad
+        low, high = _telemetry_levels(ma[:n_rows], mb[:n_rows], var[:n_rows])
         u8 = Decoder._u8_stage(img, np.float32(low), np.float32(high))
         return np.asarray(u8[:n_rows]), sync_pos
 
@@ -772,10 +770,16 @@ class Decoder:
 
         ``batch``: vmap the whole graph over a leading batch axis (all
         passes share the work-length bucket).  Per-element results are
-        bit-identical to the unbatched graph (tested).  One dispatch +
-        one fetch serve B passes — useful when the host->device control
-        link is high-latency.  On-chip it is NOT faster than pipelining
-        B unbatched dispatches (measured 60 vs 40 ms/pass on v5e: the
+        bit-identical to the unbatched graph on CPU; on TPU the
+        batched MXU tiling accumulates f32 sums in a different order
+        (~1e-4 of image floats land 1 ulp apart), so integer decisions
+        (sync peaks, row selection, buckets) stay identical but a u8
+        pixel sitting exactly on the floor(v+0.5) knife edge can
+        differ by 1 LSB (~1 pixel per 10^6 — measured by
+        tools/tpu_conformance.py).  One dispatch + one fetch serve B
+        passes — useful when the host->device control link is
+        high-latency.  On-chip it is NOT faster than pipelining B
+        unbatched dispatches (measured 60 vs 40 ms/pass on v5e: the
         vmapped while_loop turns dynamic slices into gathers and runs
         both cond branches), so the serving pipeline keeps per-pass
         dispatches.
@@ -953,12 +957,22 @@ class Decoder:
         B passes cost ONE dispatch and ONE fetch — the mode for
         high-latency control links or remote queues (BASELINE config 5
         shape); for on-chip throughput, pipelined per-pass dispatches
-        measured faster (see :meth:`_get_fused_render`).  Per-element
-        guards apply individually (a too-noisy pass yields an error
-        entry, not a batch failure).
+        measured faster (see :meth:`_get_fused_render`, including the
+        TPU vmap f32-accumulation caveat).  Per-element guards apply
+        individually (a too-noisy pass yields an error entry, not a
+        batch failure).
         """
         if len(signals) == 0:
-            return [] if fetch else PendingRenderBatch(
+            if fetch:
+                return []
+            if contrast_kind == "telemetry":
+                return PendingRenderTelemetryBatch(
+                    (np.zeros((0, 0, 0), np.float32), np.zeros(0, np.int32),
+                     np.zeros((0, 0), np.int32), np.zeros(0, np.int32),
+                     np.zeros((0, 0), np.float32), np.zeros((0, 0), np.float32),
+                     np.zeros((0, 0), np.float32))
+                )
+            return PendingRenderBatch(
                 (np.zeros((0, 0, 0), np.uint8), np.zeros(0, np.int32),
                  np.zeros((0, 0), np.int32), np.zeros(0, np.int32))
             )

@@ -136,6 +136,8 @@ def decode_fleet(
 
     from PIL import Image  # fail fast, not inside the encoder thread
 
+    if gray_png not in ("auto", "never"):
+        raise err.InvalidInputError(f"gray_png must be 'auto' or 'never', got {gray_png!r}")
     ncores = os.cpu_count() or 2
     if loaders is None:
         loaders = max(1, min(3, ncores - 1))
@@ -161,6 +163,15 @@ def decode_fleet(
         fused_levels = ("percent", 0.98) if color is not None else ("minmax", 0.98)
     elif sync and contrast.kind == ContrastKind.TELEMETRY:
         fused_levels = ("telemetry", 0.98)
+
+    # Mode-L output applies whenever the image carries no color
+    # information, fused path or not (per-pass orbit checked at encode).
+    gray_ok = (
+        gray_png == "auto"
+        and color is None
+        and rotate == Rotate.NO
+        and contrast.kind != ContrastKind.HISTOGRAM
+    )
 
     loaded: "queue.Queue" = queue.Queue(maxsize=max(2, loaders))
     to_encode: "queue.Queue" = queue.Queue(maxsize=4)
@@ -218,18 +229,16 @@ def decode_fleet(
                     # thread's next dispatch.
                     gray, _sync_pos = raw.get()
                     res_item.n_rows = gray.shape[0]
-                    if (
-                        gray_png == "auto"
-                        and color is None
-                        and orb is None
-                        and rotate == Rotate.NO
-                        and contrast.kind != ContrastKind.HISTOGRAM
-                    ):
+                    if gray_ok and orb is None:
                         img = gray  # mode-L PNG: same pixels, 1/4 the bytes
                     else:
                         img = finish_image(gray, contrast.kind, rotate, color, orb)
                 else:
                     img = process(raw, contrast, rotate, color, orb, decoder=dec)
+                    if gray_ok and orb is None and img.ndim == 3:
+                        # Same mode-L rule on the unfused path (e.g.
+                        # sync=False): channels are replicated gray.
+                        img = np.ascontiguousarray(img[..., 0])
                 out = out_dir / (p.stem + ".png")
                 Image.fromarray(img).save(out, compress_level=png_compress_level)
                 res_item.output_path = out

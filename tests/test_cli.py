@@ -226,3 +226,19 @@ def test_cli_telemetry_contrast_fused(env):
     want = process(res, Contrast.telemetry(), Rotate.NO, decoder=dec)
     got = np.asarray(Image.open("tel.png"))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fleet_png_flag(env):
+    """--fleet-png rgba restores 4-channel fleet outputs."""
+    from PIL import Image
+
+    d = env / "passes"
+    d.mkdir()
+    sig, _ = synth_recording(n_rows=16, sample_rate=11025)
+    wav.write_wav(d / "p0.wav", sig, wav.WavSpec(1, 11025, 16, "int"))
+    assert inner_main(["-q", str(d), "--ingest", "device", "-o", "fo_auto"]) == 0
+    assert inner_main(["-q", str(d), "--ingest", "device", "--fleet-png", "rgba", "-o", "fo_rgba"]) == 0
+    a = np.asarray(Image.open(Path("fo_auto") / "p0.png"))
+    r = np.asarray(Image.open(Path("fo_rgba") / "p0.png"))
+    assert a.ndim == 2 and r.ndim == 3 and r.shape[2] == 4
+    np.testing.assert_array_equal(a, r[..., 0])

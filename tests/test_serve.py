@@ -188,8 +188,13 @@ def test_decode_fleet_telemetry_contrast(tmp_path):
 
 def test_decode_fleet_gray_png_modes(tmp_path):
     """gray_png="never" keeps RGBA files identical to the CLI's output;
-    "auto" (default) writes mode-L PNGs with the same pixel values."""
+    "auto" (default) writes mode-L PNGs with the same pixel values —
+    on the unfused path (sync=False) too, so the output format depends
+    only on the documented conditions; invalid values are rejected."""
+    import pytest
     from PIL import Image
+
+    from noaa_apt_tpu.err import InvalidInputError
 
     sig, _ = synth_recording(n_rows=16, sample_rate=11025, noise_db=18.0)
     p = tmp_path / "pass.wav"
@@ -204,6 +209,15 @@ def test_decode_fleet_gray_png_modes(tmp_path):
     for c in range(3):
         np.testing.assert_array_equal(g, r[..., c])
     assert (r[..., 3] == 255).all()
+
+    # sync=False routes through the unfused process() path; the same
+    # colorless settings must still produce a mode-L file.
+    rep_ns = decode_fleet([p], tmp_path / "out_ns", ingest="device", sync=False)
+    assert not rep_ns.failed
+    assert np.asarray(Image.open(rep_ns.ok[0].output_path)).ndim == 2
+
+    with pytest.raises(InvalidInputError, match="gray_png"):
+        decode_fleet([p], tmp_path / "out_bad", gray_png="always")
 
 
 def test_decode_fleet_fused_host16_matches_device_path(tmp_path):

@@ -104,7 +104,7 @@ def check_combo(profile, rate_hz: int, n_rows: int) -> None:
     log(f"{tag}: 3 selector backends identical")
 
     # -- 4: fused render vs two-step ------------------------------------
-    res = dec.decode(signal, rate, sync=True)
+    res = results["banded"]
     want = dec.render_u8(res, "percent", 0.98)
     gray, sync_pos = dec.decode_render_input(signal, len(signal), rate, "percent", 0.98)
     assert sync_pos == res.sync_positions, f"{tag}: fused peaks != two-step"
@@ -127,14 +127,29 @@ def check_combo(profile, rate_hz: int, n_rows: int) -> None:
         log(f"{tag}: fused render byte-equal (percent)")
 
     # -- 5: batched fused vs unbatched ----------------------------------
+    # Byte-equal on CPU; on TPU the batched MXU tiling accumulates f32
+    # sums in a different order, so integer decisions must still be
+    # identical but a u8 pixel on the floor(v+0.5) knife edge may move
+    # 1 LSB (measured ~1 per 10^6 pixels).
     sigs = [signal, signal[: len(signal) * 3 // 4]]
     trues = [len(s) for s in sigs]
     outs = dec.decode_render_input_batch(sigs, trues, rate, "percent", 0.98)
     for s, nt, out in zip(sigs, trues, outs):
         w_gray, w_sync = dec.decode_render_input(s, nt, rate, "percent", 0.98)
         assert out[1] == w_sync, f"{tag}: batched peaks != unbatched"
-        np.testing.assert_array_equal(out[0], w_gray, err_msg=f"{tag}: batched u8 != unbatched")
-    log(f"{tag}: batched fused byte-equal per element")
+        if on_tpu:
+            d = np.abs(out[0].astype(np.int16) - w_gray.astype(np.int16))
+            n_knife = int((d > 0).sum())
+            assert d.max() <= 1 and n_knife <= max(4, w_gray.size // 100_000), (
+                f"{tag}: batched u8 deviates beyond knife-edge tolerance: "
+                f"{n_knife} pixels, max {d.max()}"
+            )
+        else:
+            np.testing.assert_array_equal(
+                out[0], w_gray, err_msg=f"{tag}: batched u8 != unbatched"
+            )
+    log(f"{tag}: batched fused matches per element"
+        + (" (<=1 LSB knife-edge tolerance)" if on_tpu else " byte-exact"))
 
 
 def main() -> int:
