@@ -128,26 +128,34 @@ def test_decode_deterministic():
     np.testing.assert_array_equal(a, b)
 
 
-def golden_decode() -> tuple[np.ndarray, list[int]]:
-    """The fixed decode the golden image pins: 24 rows, 11025 Hz, clean,
-    standard profile, percent contrast rendered u8 on device."""
-    signal, _ = synth_recording(n_rows=24, sample_rate=11025)
-    dec = Decoder(STANDARD)
-    res = dec.decode(signal, Rate(11025), sync=True)
+GOLDEN_COMBOS = {
+    "decode_11025_standard": (STANDARD, 11025),
+    "decode_48000_fast": (FAST, 48000),
+    "decode_48000_slow": (SLOW, 48000),
+}
+
+
+def golden_decode(profile, rate_hz: int) -> tuple[np.ndarray, list[int]]:
+    """The fixed decode a golden image pins: 24 rows, clean signal,
+    percent contrast rendered u8 on device."""
+    signal, _ = synth_recording(n_rows=24, sample_rate=rate_hz)
+    dec = Decoder(profile)
+    res = dec.decode(signal, Rate(rate_hz), sync=True)
     return dec.render_u8(res, "percent"), res.sync_positions
 
 
-def test_decode_golden_image():
-    """Byte-exact regression pin (VERDICT r1 item 7): the committed u8
-    PNG must be reproduced exactly, sync positions included.  If a
-    numeric change is *intended*, regenerate with
+@pytest.mark.parametrize("name", sorted(GOLDEN_COMBOS))
+def test_decode_golden_image(name):
+    """Byte-exact regression pin (VERDICT r1 item 7), one per profile:
+    the committed u8 PNG must be reproduced exactly, sync positions
+    included.  If a numeric change is *intended*, regenerate with
     ``python -m tests.test_decode_e2e`` and justify in the commit."""
     from PIL import Image
 
-    golden_png = GOLDEN_DIR / "decode_11025_standard.png"
-    golden_sync = GOLDEN_DIR / "decode_11025_standard.sync.txt"
+    golden_png = GOLDEN_DIR / f"{name}.png"
+    golden_sync = GOLDEN_DIR / f"{name}.sync.txt"
     assert golden_png.exists(), "golden image missing; run python -m tests.test_decode_e2e"
-    u8, sync_pos = golden_decode()
+    u8, sync_pos = golden_decode(*GOLDEN_COMBOS[name])
     want = np.asarray(Image.open(golden_png))
     np.testing.assert_array_equal(u8, want)
     assert sync_pos == [int(x) for x in golden_sync.read_text().split()]
@@ -158,12 +166,13 @@ if __name__ == "__main__":
     from PIL import Image
 
     GOLDEN_DIR.mkdir(exist_ok=True)
-    u8, sync_pos = golden_decode()
-    Image.fromarray(u8).save(GOLDEN_DIR / "decode_11025_standard.png")
-    (GOLDEN_DIR / "decode_11025_standard.sync.txt").write_text(
-        " ".join(str(p) for p in sync_pos) + "\n"
-    )
-    print(f"wrote golden {u8.shape} with {len(sync_pos)} sync positions")
+    for name, (profile, rate_hz) in GOLDEN_COMBOS.items():
+        u8, sync_pos = golden_decode(profile, rate_hz)
+        Image.fromarray(u8).save(GOLDEN_DIR / f"{name}.png")
+        (GOLDEN_DIR / f"{name}.sync.txt").write_text(
+            " ".join(str(p) for p in sync_pos) + "\n"
+        )
+        print(f"wrote golden {name} {u8.shape} with {len(sync_pos)} sync positions")
 
 
 def test_host16_quantized_ingest_near_lossless():
