@@ -348,6 +348,38 @@ def _run(args) -> int:
             f"fleet: {len(report.ok)} decoded, {len(report.failed)} failed, "
             f"{report.wall_seconds:.1f}s wall ({report.realtime_factor:.0f}x realtime)"
         )
+        # Machine-readable run report next to the outputs (metrics/
+        # observability for fleet consumers; the human line above stays).
+        import json
+
+        report_path = Path(args.output or "./fleet_out") / "fleet_report.json"
+        try:
+            report_path.write_text(json.dumps({
+                "ok": len(report.ok),
+                "failed": [
+                    {"input": str(r.input_path), "error": r.error}
+                    for r in report.failed
+                ],
+                "wall_seconds": round(report.wall_seconds, 3),
+                "realtime_factor": round(report.realtime_factor, 1),
+                "rows": sum(r.n_rows for r in report.ok),
+                "stage_seconds": report.stage_totals(),
+                "compile_variants": report.compile_variants,
+                "passes": [
+                    {
+                        "input": str(r.input_path),
+                        "output": str(r.output_path),
+                        "rows": r.n_rows,
+                        "load_s": round(r.load_s, 3),
+                        "ingest_s": round(r.ingest_s, 3),
+                        "device_s": round(r.device_s, 3),
+                        "encode_s": round(r.encode_s, 3),
+                    }
+                    for r in report.ok
+                ],
+            }, indent=1))
+        except OSError as e:
+            log.warning("could not write %s: %s", report_path, e)
         return 0 if not report.failed else 1
 
     if str(args.input_filename).endswith(".npy"):

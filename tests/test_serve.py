@@ -243,3 +243,23 @@ def test_decode_fleet_fused_host16_matches_device_path(tmp_path):
         assert ia.shape == ib.shape
         assert np.abs(ia - ib).max() <= 1
         assert (ia != ib).mean() < 0.01
+
+
+def test_cli_fleet_report_json(tmp_path, monkeypatch):
+    """CLI fleet mode writes a machine-readable fleet_report.json."""
+    import json
+
+    from noaa_apt_tpu.cli import inner_main
+
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "cfg"))
+    d = tmp_path / "passes"
+    d.mkdir()
+    sig, _ = synth_recording(n_rows=16, sample_rate=11025)
+    wav.write_wav(d / "p0.wav", sig, wav.WavSpec(1, 11025, 16, "int"))
+    rc = inner_main(["-q", str(d), "--ingest", "device", "-o", str(tmp_path / "out")])
+    assert rc == 0
+    rep = json.loads((tmp_path / "out" / "fleet_report.json").read_text())
+    assert rep["ok"] == 1 and rep["failed"] == []
+    assert rep["rows"] >= 14 and rep["wall_seconds"] > 0
+    assert rep["passes"][0]["output"].endswith("p0.png")
+    assert set(rep["stage_seconds"]) == {"load", "ingest", "device", "encode"}
