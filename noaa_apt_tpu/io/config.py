@@ -89,10 +89,15 @@ default_profile = "standard"
 
 
 def res_path(*parts) -> Path:
-    """Resource path, honoring NOAA_APT_RES_DIR (config.rs:27-40)."""
+    """Resource path, honoring NOAA_APT_RES_DIR (config.rs:27-40).
+
+    Resources (palettes, shapefiles) live inside the package
+    (``noaa_apt_tpu/res/``, shipped as wheel package-data so pip
+    installs work; the repo root keeps a ``res`` symlink for the
+    reference-like layout)."""
     base = os.environ.get("NOAA_APT_RES_DIR")
     if base is None:
-        base = Path(__file__).resolve().parent.parent.parent / "res"
+        base = Path(__file__).resolve().parent.parent / "res"
     return Path(base).joinpath(*parts)
 
 

@@ -111,7 +111,7 @@ def test_false_color_vendored_palette_set(env):
     22 palettes, 256x256, and decoding with one actually colorizes."""
     import noaa_apt_tpu
 
-    res = Path(noaa_apt_tpu.__file__).resolve().parent.parent / "res" / "palettes"
+    res = Path(noaa_apt_tpu.__file__).resolve().parent / "res" / "palettes"
     pngs = sorted(res.glob("*.png"))
     assert len(pngs) == 22
     from PIL import Image
