@@ -14,8 +14,6 @@ worker threads never touch widgets — they submit closures through
 
 from __future__ import annotations
 
-import base64
-import io as _io
 import queue
 import tkinter as tk
 from tkinter import colorchooser, filedialog, messagebox, ttk
@@ -235,11 +233,19 @@ class App:
                 self.preview_label.configure(image="", text="noaa-apt")
                 self._photo = None
                 return
-            from PIL import Image
+            # Tk reads PPM natively: header + raw RGB bytes, no deflate
+            # and no base64 — at "Normal size" on a full pass the old
+            # PNG round trip froze the mainloop for hundreds of ms per
+            # auto-update.
+            import numpy as np
 
-            buf = _io.BytesIO()
-            Image.fromarray(arr).save(buf, "PNG")
-            self._photo = tk.PhotoImage(data=base64.b64encode(buf.getvalue()))
+            if arr.ndim == 2:
+                rgb = np.repeat(arr[:, :, None], 3, axis=2)
+            else:
+                rgb = np.ascontiguousarray(arr[:, :, :3])
+            h, width = rgb.shape[:2]
+            ppm = b"P6 %d %d 255\n" % (width, h) + rgb.tobytes()
+            self._photo = tk.PhotoImage(data=ppm)
             self.preview_label.configure(image=self._photo, text="")
 
         w.image.bind(

@@ -263,13 +263,17 @@ def process() -> threading.Thread | None:
         if not palette_filename:
             callback(err.InternalError("Select palette file"))
             return None
-        color = ColorSettings(
-            palette_filename=Path(palette_filename),
-            ch_a_tune_start=float(widgets.p_channel_a_start_scale.get()),
-            ch_a_tune_end=float(widgets.p_channel_a_end_scale.get()),
-            ch_b_tune_start=float(widgets.p_channel_b_start_scale.get()),
-            ch_b_tune_end=float(widgets.p_channel_b_end_scale.get()),
-        )
+        try:
+            color = ColorSettings(
+                palette_filename=Path(palette_filename),
+                ch_a_tune_start=float(widgets.p_channel_a_start_scale.get()),
+                ch_a_tune_end=float(widgets.p_channel_a_end_scale.get()),
+                ch_b_tune_start=float(widgets.p_channel_b_start_scale.get()),
+                ch_b_tune_end=float(widgets.p_channel_b_end_scale.get()),
+            )
+        except Exception:  # noqa: BLE001 — any unparsable widget state
+            callback(err.InternalError("Invalid false color setting"))
+            return None
 
     sat_id = widgets.p_satellite_combo.get()
     sat_name = _SAT_IDS.get(sat_id)
@@ -314,14 +318,22 @@ def process() -> threading.Thread | None:
     if widgets.p_overlay_check.get():
         import math
 
-        draw_map = MapSettings(
-            yaw=float(widgets.p_yaw_spinner.get()) * math.pi / 180.0,
-            hscale=float(widgets.p_hscale_spinner.get()) / 100.0,
-            vscale=float(widgets.p_vscale_spinner.get()) / 100.0,
-            countries_color=tuple(widgets.p_countries_color.get()),
-            states_color=tuple(widgets.p_states_color.get()),
-            lakes_color=tuple(widgets.p_lakes_color.get()),
-        )
+        try:
+            # Inside the try: Tk spinbox variables raise TclError on
+            # transient non-numeric text (e.g. a lone "-" mid-edit),
+            # and the buttons are already insensitive — an escaping
+            # exception would strand them disabled.
+            draw_map = MapSettings(
+                yaw=float(widgets.p_yaw_spinner.get()) * math.pi / 180.0,
+                hscale=float(widgets.p_hscale_spinner.get()) / 100.0,
+                vscale=float(widgets.p_vscale_spinner.get()) / 100.0,
+                countries_color=tuple(widgets.p_countries_color.get()),
+                states_color=tuple(widgets.p_states_color.get()),
+                lakes_color=tuple(widgets.p_lakes_color.get()),
+            )
+        except Exception:  # noqa: BLE001 — any unparsable widget state
+            callback(err.InternalError("Invalid map overlay setting"))
+            return None
 
     orbit = OrbitSettings(
         sat_name=sat_name, custom_tle=custom_tle,

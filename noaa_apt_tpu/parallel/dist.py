@@ -48,13 +48,18 @@ def init_distributed(
     """
     import jax
 
-    configured = (
-        coordinator_address is not None
-        or num_processes is not None
-        or os.environ.get("JAX_COORDINATOR_ADDRESS")
-        or os.environ.get("COORDINATOR_ADDRESS")
-    )
-    if configured:
+    # Forward the standard coordinator environment explicitly —
+    # relying on auto-detection here would make a typo'd environment
+    # silently fall back to single-host (see below).
+    if coordinator_address is None:
+        coordinator_address = os.environ.get(
+            "JAX_COORDINATOR_ADDRESS"
+        ) or os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is not None or num_processes is not None:
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
@@ -62,8 +67,16 @@ def init_distributed(
                 process_id=process_id,
             )
         except RuntimeError as e:
-            # Already initialized (e.g. by the launcher) — not an error.
-            log.debug("jax.distributed.initialize: %s", e)
+            # Only a repeated initialize (e.g. the launcher already did
+            # it) is benign.  Anything else — unreachable coordinator,
+            # inconsistent process counts — must NOT degrade silently to
+            # single-host: with a 1-process view, fleet_shard would hand
+            # every host the ENTIRE recording list and N hosts would
+            # decode (and overwrite) the whole fleet N times.
+            if "already" in str(e).lower() or "once" in str(e).lower():
+                log.debug("jax.distributed.initialize: %s", e)
+            else:
+                raise
     return jax.process_count() > 1
 
 
@@ -91,15 +104,25 @@ def topology_mesh(n_data: int | None = None, n_seq: int | None = None):
             f"mesh {n_data}x{n_seq} exceeds {n_total} devices"
         )
     if n_proc > 1:
-        if n_data % n_proc != 0 or n_seq > n_local:
+        # Every process must own its full share of mesh rows: data
+        # rows split evenly across processes, and each row's n_seq
+        # devices come from ONE process (the seq axis must not cross
+        # DCN).  A flat truncation of the device list would instead
+        # hand all rows to the first processes and leave later hosts
+        # with no addressable mesh devices.
+        rows_per_proc = n_data // n_proc
+        if n_data % n_proc != 0 or rows_per_proc * n_seq > n_local:
             raise ValueError(
                 f"multi-host mesh must keep seq within a host: "
                 f"data={n_data} (processes: {n_proc}), seq={n_seq} "
                 f"(local chips: {n_local})"
             )
         n_slices = len({getattr(d, "slice_index", 0) for d in jax.devices()})
-        if n_slices == n_proc:
-            # Real pod: let mesh_utils optimize the intra-slice layout.
+        if n_slices == n_proc and n_data * n_seq == n_total:
+            # Real pod using every chip: let mesh_utils optimize the
+            # intra-slice layout.  (A sub-mesh can't go through
+            # create_hybrid_device_mesh — it requires all devices —
+            # so it falls through to the per-process construction.)
             from jax.experimental import mesh_utils
 
             dev = mesh_utils.create_hybrid_device_mesh(
@@ -107,14 +130,32 @@ def topology_mesh(n_data: int | None = None, n_seq: int | None = None):
                 dcn_mesh_shape=(n_proc, 1),
             )
         else:
-            # No slice topology info (e.g. multi-process CPU, or hosts
-            # sharing a slice): group rows by owning process — the
-            # process boundary IS the DCN boundary.
-            ordered = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
-            dev = np.array(ordered[: n_data * n_seq]).reshape(n_data, n_seq)
+            # Group rows by owning process — the process boundary IS
+            # the DCN boundary.  Also covers multi-process CPU and
+            # hosts sharing a slice (no slice topology info).
+            dev = _rows_by_process(jax.devices(), rows_per_proc, n_seq)
     else:
         dev = np.array(jax.devices()[: n_data * n_seq]).reshape(n_data, n_seq)
     return Mesh(dev, ("data", "seq"))
+
+
+def _rows_by_process(devices, rows_per_proc: int, n_seq: int) -> np.ndarray:
+    """[n_data, n_seq] device grid where each row's devices come from one
+    process and every process owns exactly ``rows_per_proc`` rows."""
+    by_proc: dict[int, list] = {}
+    for d in sorted(devices, key=lambda d: (d.process_index, d.id)):
+        by_proc.setdefault(d.process_index, []).append(d)
+    rows = []
+    for pid in sorted(by_proc):
+        local = by_proc[pid]
+        if len(local) < rows_per_proc * n_seq:
+            raise ValueError(
+                f"process {pid} owns {len(local)} devices, "
+                f"needs {rows_per_proc}x{n_seq}"
+            )
+        for r in range(rows_per_proc):
+            rows.append(local[r * n_seq : (r + 1) * n_seq])
+    return np.array(rows)
 
 
 def fleet_shard(paths, process_id: int | None = None, process_count: int | None = None):

@@ -141,12 +141,22 @@ def decode_fleet(
     ncores = os.cpu_count() or 2
     if loaders is None:
         loaders = max(1, min(3, ncores - 1))
+    loaders = max(1, loaders)  # 0 loader threads would deadlock loaded.get()
     if encoders is None:
         encoders = max(1, min(2, ncores - 1))
     contrast = contrast or Contrast.from_percent(0.98)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     paths = [Path(p) for p in inputs]
+    # Output names: the input stem, disambiguated when two inputs from
+    # different directories share one (else the later encode silently
+    # clobbers the earlier PNG and both passes report ok).
+    seen: dict[str, int] = {}
+    out_names: list[str] = []
+    for p in paths:
+        k = seen.get(p.stem, 0)
+        seen[p.stem] = k + 1
+        out_names.append(p.stem if k == 0 else f"{p.stem}_{k}")
     dec = Decoder(profile, ingest=ingest)
 
     # Fused low-round-trip render (Decoder.decode_render) applies to
@@ -219,7 +229,7 @@ def decode_fleet(
             item = to_encode.get()
             if item is None:
                 return
-            res_item, p, raw = item
+            res_item, p, out_name, raw = item
             t0 = time.time()
             try:
                 orb = orbit_for(p) if orbit_for is not None else orbit
@@ -239,7 +249,7 @@ def decode_fleet(
                         # Same mode-L rule on the unfused path (e.g.
                         # sync=False): channels are replicated gray.
                         img = np.ascontiguousarray(img[..., 0])
-                out = out_dir / (p.stem + ".png")
+                out = out_dir / (out_name + ".png")
                 Image.fromarray(img).save(out, compress_level=png_compress_level)
                 res_item.output_path = out
                 res_item.encode_s = time.time() - t0
@@ -281,13 +291,13 @@ def decode_fleet(
                         deferred = dec.decode_render(work, *fused_levels, fetch=False)
                     res_item.device_s = time.time() - t0  # dispatch time
                     res_item.seconds = res_item.device_s
-                    to_encode.put((res_item, p, deferred))
+                    to_encode.put((res_item, p, out_names[i], deferred))
                 else:
                     res = dec.decode(signal, rate, sync=sync, host_work=work)
                     res_item.n_rows = res.n_rows
                     res_item.device_s = time.time() - t0
                     res_item.seconds = res_item.device_s
-                    to_encode.put((res_item, p, res))
+                    to_encode.put((res_item, p, out_names[i], res))
             except Exception as e:  # noqa: BLE001 - per-pass isolation
                 res_item.error = str(e)
                 log.warning("decode failed for %s: %s", p, e)

@@ -113,3 +113,53 @@ def test_two_process_distributed_fleet_and_global_batch(tmp_path):
     # Disjoint, complete, deterministic partition.
     assert sorted(shares[0] + shares[1]) == [f"pass{i}.wav" for i in range(5)]
     assert not set(shares[0]) & set(shares[1])
+
+
+def test_rows_by_process_submesh_spreads_hosts():
+    """A sub-mesh (n_data*n_seq < total devices) must give every process
+    its share of rows — a flat truncation would hand all rows to the
+    first process and leave other hosts with no addressable devices."""
+    from dataclasses import dataclass
+
+    from noaa_apt_tpu.parallel.dist import _rows_by_process
+
+    @dataclass(frozen=True)
+    class FakeDev:
+        process_index: int
+        id: int
+
+    devices = [FakeDev(p, p * 4 + i) for p in range(2) for i in range(4)]
+    grid = _rows_by_process(devices, rows_per_proc=1, n_seq=2)
+    assert grid.shape == (2, 2)
+    assert {d.process_index for d in grid[0]} == {0}
+    assert {d.process_index for d in grid[1]} == {1}
+
+    with pytest.raises(ValueError, match="owns"):
+        _rows_by_process(devices, rows_per_proc=1, n_seq=8)
+
+
+def test_init_distributed_raises_on_bad_coordinator(monkeypatch):
+    """A failed multi-host init must not silently degrade to
+    single-host (every host would then decode the whole fleet)."""
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")  # unreachable
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+    import noaa_apt_tpu.parallel.dist as dist
+
+    called = {}
+
+    def fake_initialize(coordinator_address=None, num_processes=None, process_id=None):
+        called["args"] = (coordinator_address, num_processes, process_id)
+        raise RuntimeError("Could not connect to the coordinator")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    with pytest.raises(RuntimeError, match="coordinator"):
+        dist.init_distributed()
+    assert called["args"] == ("127.0.0.1:1", 2, 0)
+
+    # ...but a repeated initialize stays benign (launcher already did it).
+    def fake_already(**kw):
+        raise RuntimeError("jax.distributed.initialize should only be called once")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_already)
+    assert dist.init_distributed() is False  # 1-process view, no raise

@@ -366,3 +366,17 @@ def test_app_module_importable_headless():
     import noaa_apt_tpu.gui.app as app
 
     assert hasattr(app, "App")
+
+
+def test_process_invalid_map_spinner_reenables_buttons(gui):
+    """Transient junk in a map spinbox (e.g. '-' mid-edit) must surface
+    as an error and re-enable the buttons, not strand them disabled."""
+    widgets, state, _ = gui
+    state.decoded_signal = np.zeros(2080 * 12, np.float32)
+
+    widgets.p_overlay_check.set(True)
+    widgets.p_yaw_spinner.set("-")
+    assert work.process() is None
+    assert "Invalid map overlay setting" in widgets.info.text
+    assert widgets.p_process_button.sensitive
+    assert widgets.dec_decode_button.sensitive

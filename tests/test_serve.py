@@ -263,3 +263,28 @@ def test_cli_fleet_report_json(tmp_path, monkeypatch):
     assert rep["rows"] >= 14 and rep["wall_seconds"] > 0
     assert rep["passes"][0]["output"].endswith("p0.png")
     assert set(rep["stage_seconds"]) == {"load", "ingest", "device", "encode"}
+
+
+def test_decode_fleet_duplicate_stems(tmp_path):
+    """Inputs with equal stems from different directories must not
+    clobber each other's PNGs."""
+    sig, _ = synth_recording(n_rows=16, sample_rate=11025, noise_db=18.0, seed=1)
+    paths = []
+    for d in ("recA", "recB"):
+        (tmp_path / d).mkdir()
+        p = tmp_path / d / "pass.wav"
+        wav.write_wav(p, sig, wav.WavSpec(1, 11025, 16, "int"))
+        paths.append(p)
+    report = decode_fleet(paths, tmp_path / "out", ingest="device")
+    assert len(report.ok) == 2
+    outs = {r.output_path for r in report.ok}
+    assert len(outs) == 2 and all(p.exists() for p in outs)
+    assert {p.name for p in outs} == {"pass.png", "pass_1.png"}
+
+
+def test_decode_fleet_zero_loaders_does_not_deadlock(tmp_path):
+    sig, _ = synth_recording(n_rows=16, sample_rate=11025, noise_db=18.0, seed=2)
+    p = tmp_path / "one.wav"
+    wav.write_wav(p, sig, wav.WavSpec(1, 11025, 16, "int"))
+    report = decode_fleet([p], tmp_path / "out", ingest="device", loaders=0)
+    assert len(report.ok) == 1
