@@ -234,9 +234,10 @@ def _run(args) -> int:
     draw_map = None
     if args.map == "yes":
         draw_map = MapSettings(
-            yaw=args.map_yaw or 0.0,
-            hscale=args.map_hscale or 1.0,
-            vscale=args.map_vscale or 1.0,
+            # `or` would silently replace an explicit 0 with the default
+            yaw=args.map_yaw if args.map_yaw is not None else 0.0,
+            hscale=args.map_hscale if args.map_hscale is not None else 1.0,
+            vscale=args.map_vscale if args.map_vscale is not None else 1.0,
             countries_color=settings.default_countries_color,
             states_color=settings.default_states_color,
             lakes_color=settings.default_lakes_color,

@@ -212,14 +212,25 @@ def _telemetry_levels(ma, mb, var, context=None) -> tuple[float, float]:
     return tel.get_wedge_value(9, None), tel.get_wedge_value(8, None)
 
 
+def _splice_errors(dev_results: list, errors) -> list:
+    """Merge device-batch results with pre-decode per-element errors
+    (keyed by ORIGINAL batch index) back into input order."""
+    if not errors:
+        return dev_results
+    total = len(dev_results) + len(errors)
+    it = iter(dev_results)
+    return [errors[b] if b in errors else next(it) for b in range(total)]
+
+
 @dataclass
 class PendingRenderBatch:
     """A dispatched-but-not-fetched BATCH of fused renders (one vmapped
     graph over same-bucket passes).  :meth:`get` is the single grouped
-    fetch; per-pass guards apply individually so one too-noisy pass
-    does not fail its batchmates."""
+    fetch; per-pass guards apply individually so one too-noisy (or
+    too-short — ``errors``) pass does not fail its batchmates."""
 
     arrays: tuple  # (u8 [B,R,W], n_rows [B], peaks [B,P], k [B])
+    errors: "dict[int, err.AptError] | None" = None  # pre-decode, by input index
 
     def get(self) -> list["tuple[np.ndarray, list[int]] | err.AptError"]:
         u8, n_rows, peaks, k = jax.device_get(self.arrays)
@@ -229,7 +240,7 @@ class PendingRenderBatch:
             sync_pos = peaks[b, : int(k[b])].tolist()
             bad = _check_sync_count(sync_pos)
             out.append(bad if bad is not None else (u8[b, :nb], sync_pos))
-        return out
+        return _splice_errors(out, self.errors)
 
 
 @dataclass
@@ -264,11 +275,12 @@ class PendingRenderTelemetryBatch:
     yield error entries without failing batchmates."""
 
     arrays: tuple  # (img [B,R,W], n_rows [B], peaks, k, ma, mb, var)
+    errors: "dict[int, err.AptError] | None" = None  # pre-decode, by input index
 
     def get(self) -> list["tuple[np.ndarray, list[int]] | err.AptError"]:
         imgs = self.arrays[0]
         if int(imgs.shape[0]) == 0:
-            return []
+            return _splice_errors([], self.errors)
         n_rows, peaks, k, ma, mb, var = jax.device_get(self.arrays[1:])
         metas: list = []
         lows = np.zeros(imgs.shape[0], np.float32)
@@ -289,10 +301,11 @@ class PendingRenderTelemetryBatch:
             highs[b] = np.float32(high)
             metas.append((nb, sync_pos))
         u8 = jax.device_get(jax.vmap(Decoder._u8_stage)(imgs, lows, highs))
-        return [
+        out = [
             m if isinstance(m, err.AptError) else (u8[b, : m[0]], m[1])
             for b, m in enumerate(metas)
         ]
+        return _splice_errors(out, self.errors)
 
 
 @dataclass
@@ -472,6 +485,12 @@ class Decoder:
         if work is None:
             return None
         work_true = int(work.shape[0])
+        if work_true == 0:
+            # A few dozen input samples can resample to nothing; fail
+            # like the decode guard, not with a zero-size np.max crash.
+            raise err.InternalError(
+                "Got less than 10 rows of samples, audio file is too short"
+            )
         inv_scale = None
         if quantize:
             peak = float(np.max(np.abs(work))) or 1.0
@@ -486,6 +505,18 @@ class Decoder:
             data = jax.device_put(jnp.asarray(buf))
         return WorkPayload(data=data, work_true=work_true, inv_scale=inv_scale)
 
+    def _ingest_filter(self, input_rate: Rate) -> LowpassDcRemoval:
+        """The stage-1 DC-removal lowpass for this profile at
+        ``input_rate`` (``decode.rs:65-77``) — the one filter design
+        every ingest path (device graph, fused, host C++, sharded)
+        must agree on."""
+        p = self.profile
+        return LowpassDcRemoval(
+            cutout=Freq.hz(p.resample_cutout, input_rate),
+            atten=p.resample_atten,
+            delta_w=Freq.hz(p.resample_delta_freq, input_rate),
+        )
+
     def _get_stage1(self, n_pad: int, input_rate: Rate, with_corr: bool, in_dtype=np.float32):
         key = (n_pad, input_rate.get_hz(), with_corr, np.dtype(in_dtype).name)
         if key in self._stage1:
@@ -493,11 +524,7 @@ class Decoder:
         self._note_compile(key)
 
         p = self.profile
-        filt = LowpassDcRemoval(
-            cutout=Freq.hz(p.resample_cutout, input_rate),
-            atten=p.resample_atten,
-            delta_w=Freq.hz(p.resample_delta_freq, input_rate),
-        )
+        filt = self._ingest_filter(input_rate)
         res_fn, work_len_fn, _ = _plan_resample_with_filter(
             n_pad, input_rate, self.work_rate, filt
         )
@@ -831,13 +858,8 @@ class Decoder:
         self._note_compile(key)
 
         p = self.profile
-        filt = LowpassDcRemoval(
-            cutout=Freq.hz(p.resample_cutout, input_rate),
-            atten=p.resample_atten,
-            delta_w=Freq.hz(p.resample_delta_freq, input_rate),
-        )
         res_fn, work_len_fn, _ = _plan_resample_with_filter(
-            n_pad, input_rate, self.work_rate, filt
+            n_pad, input_rate, self.work_rate, self._ingest_filter(input_rate)
         )
         w_pad = work_len_fn(n_pad)
         carrier, demod_coeff, template = self._chain_params()
@@ -890,6 +912,11 @@ class Decoder:
         quantized = payload.inv_scale is not None
         step = self._get_fused_render(w_pad, quantized, contrast_kind, pct)
         if isinstance(payload.data, jax.Array):
+            if payload.data.shape[0] != w_pad:
+                raise err.InternalError(
+                    f"pre-uploaded work buffer is {payload.data.shape[0]}, "
+                    f"expected pad_bucket({work_true}) = {w_pad}"
+                )
             wdev = payload.data
         else:
             wbuf = np.zeros(w_pad, dtype=payload.data.dtype)
@@ -977,30 +1004,46 @@ class Decoder:
                  np.zeros((0, 0), np.int32), np.zeros(0, np.int32))
             )
         n_pad = pad_bucket(max(n_trues))
-        in_dtype = np.int16 if all(
-            np.asarray(s).dtype == np.int16 for s in signals
-        ) else np.float32
-        buf = np.zeros((len(signals), n_pad), dtype=in_dtype)
-        for b, (s, nt) in enumerate(zip(signals, n_trues)):
-            buf[b, :nt] = np.asarray(s)[:nt]
-        step, work_len_fn = self._get_fused_render_input(
-            n_pad, input_rate, contrast_kind, pct, in_dtype, batch=len(signals)
-        )
-        work_trues = np.asarray([work_len_fn(nt) for nt in n_trues], np.int32)
-        # Too-short members can't raise per-element inside the graph;
-        # pre-check here exactly as the unbatched path does.
-        min_work = 10 * self.samples_per_work_row
-        short = [b for b, wt in enumerate(work_trues) if wt < min_work]
-        if short:
-            raise err.InternalError(
-                "Got less than 10 rows of samples, audio file is too short"
-            )
         bcls = (
             PendingRenderTelemetryBatch
             if contrast_kind == "telemetry"
             else PendingRenderBatch
         )
-        pending = bcls(step(jnp.asarray(buf), jnp.asarray(work_trues)))
+        # Too-short members can't raise per-element inside the graph:
+        # pre-check with the resample plan alone (no compile) and carry
+        # them as error entries, exactly the batch contract for the
+        # in-graph guards.
+        _, probe_len, _ = _plan_resample_with_filter(
+            n_pad, input_rate, self.work_rate, self._ingest_filter(input_rate)
+        )
+        min_work = 10 * self.samples_per_work_row
+        errors = {
+            b: err.InternalError(
+                "Got less than 10 rows of samples, audio file is too short"
+            )
+            for b, nt in enumerate(n_trues)
+            if probe_len(nt) < min_work
+        }
+        keep = [b for b in range(len(signals)) if b not in errors]
+        if not keep:
+            results = [errors[b] for b in range(len(signals))]
+            return results if fetch else bcls(
+                tuple(np.zeros((0,) * 3, np.float32) for _ in range(4)),
+                errors=errors,
+            )
+        in_dtype = np.int16 if all(
+            np.asarray(signals[b]).dtype == np.int16 for b in keep
+        ) else np.float32
+        buf = np.zeros((len(keep), n_pad), dtype=in_dtype)
+        for j, b in enumerate(keep):
+            buf[j, : n_trues[b]] = np.asarray(signals[b])[: n_trues[b]]
+        step, work_len_fn = self._get_fused_render_input(
+            n_pad, input_rate, contrast_kind, pct, in_dtype, batch=len(keep)
+        )
+        work_trues = np.asarray([work_len_fn(n_trues[b]) for b in keep], np.int32)
+        pending = bcls(
+            step(jnp.asarray(buf), jnp.asarray(work_trues)), errors=errors or None
+        )
         return pending.get() if fetch else pending
 
     # ------------------------------------------------------------------
@@ -1078,12 +1121,9 @@ class Decoder:
             if context is not None:
                 context.status(0.5, "Syncing")
             sync_pos = self._select_peaks(corr_dev, max(0, work_true - guard_len))
-            log.info("Found %d sync frames", len(sync_pos))
-            if len(sync_pos) < 5:
-                raise err.InternalError(
-                    "Found less than 5 sync frames, audio file is too short "
-                    "or too noisy"
-                )
+            bad = _check_sync_count(sync_pos)
+            if bad is not None:
+                raise bad
             rows_pos = [p for p in sync_pos[:-1] if p + spr < work_true]
         else:
             if context is not None:
@@ -1124,11 +1164,7 @@ class Decoder:
                 f"divisor in common. input_rate: {input_rate.get_hz()}, "
                 f"output_rate: {self.work_rate.get_hz()}, l: {l}, m: {m}"
             )
-        filt = LowpassDcRemoval(
-            cutout=Freq.hz(p.resample_cutout, input_rate),
-            atten=p.resample_atten,
-            delta_w=Freq.hz(p.resample_delta_freq, input_rate),
-        )
+        filt = self._ingest_filter(input_rate)
         coeff = filt.resample(input_rate, interpolated).design()
         n_true = int(signal.shape[0])
         interp = n_true * l

@@ -65,7 +65,6 @@ def process(
                 "percent" if kind == ContrastKind.PERCENT else "minmax",
                 contrast_adjustment.percent,
             )
-        height = gray.shape[0]
     elif result is not None and decoder is not None and kind == ContrastKind.TELEMETRY:
         if context is not None:
             context.status(0.1, "Adjusting contrast from telemetry")
@@ -78,7 +77,6 @@ def process(
         if context is not None:
             context.status(0.3, "Generating image")
         gray = decoder.render_u8_levels(result, low, high)
-        height = gray.shape[0]
 
     if gray is None:
         signal = result.signal() if result is not None else np.asarray(signal, np.float32).reshape(-1)
@@ -94,15 +92,17 @@ def process(
                     0.1, f"Adjusting contrast using {contrast_adjustment.percent * 100} percent"
                 )
             low, high = ct.percent(signal, contrast_adjustment.percent)
-        else:  # MINMAX or HISTOGRAM
+        elif color is not None and kind == ContrastKind.HISTOGRAM:
+            # For colorization with histogram equalization, do a 98%
+            # contrast stretch first (noaa_apt.rs:167-176) — the minmax
+            # scan below would be discarded.
+            if context is not None:
+                context.status(0.1, "Mapping values")
+            low, high = ct.percent(signal, 0.98)
+        else:  # MINMAX or grayscale HISTOGRAM
             if context is not None:
                 context.status(0.1, "Mapping values")
             low, high = ct.min_max(signal)
-
-        # For colorization with histogram equalization, do a 98% contrast
-        # stretch first (noaa_apt.rs:167-176).
-        if color is not None and kind == ContrastKind.HISTOGRAM:
-            low, high = ct.percent(signal, 0.98)
 
         if context is not None:
             context.status(0.3, "Generating image")

@@ -34,7 +34,7 @@ from .. import CARRIER_FREQ, FINAL_RATE, err
 from ..core import Lowpass, LowpassDcRemoval
 from ..core.frequency import Freq, Rate
 from ..core.profiles import DecodeProfile
-from ..graph.decode import DecodeResult, Decoder, pad_bucket
+from ..graph.decode import DecodeResult, Decoder, _check_sync_count, pad_bucket
 from ..ops import demod as dm
 from ..ops import resample as rs
 from ..ops import sync as sy
@@ -91,11 +91,7 @@ class ShardedDecoder(Decoder):
         l0 = self.work_rate.get_hz() // gdiv
         m0 = input_rate.get_hz() // gdiv
 
-        filt = LowpassDcRemoval(
-            cutout=Freq.hz(p.resample_cutout, input_rate),
-            atten=p.resample_atten,
-            delta_w=Freq.hz(p.resample_delta_freq, input_rate),
-        )
+        filt = self._ingest_filter(input_rate)
         if l0 > 1:
             interpolated = input_rate.checked_mul(l0)
             if interpolated is None:
@@ -240,10 +236,21 @@ class ShardedDecoder(Decoder):
             f, corr = mapped(x.reshape(d, ci))
             return f.reshape(-1), corr.reshape(-1)
 
-        def work_len_fn(n_true: int) -> int:
-            interp = n_true * l
-            offset = (len(coeff) - 1) // 2
-            return max(0, -(-(interp - offset) // m)) if interp > offset else 0
+        if l > 1:
+
+            def work_len_fn(n_true: int) -> int:
+                interp = n_true * l
+                offset = (len(coeff) - 1) // 2
+                return max(0, -(-(interp - offset) // m)) if interp > offset else 0
+
+        else:
+            # Decimation-only: the single-chip path is causal_filter
+            # (length-preserving) + decimate, so the work length is
+            # n_true // m — the interpolation offset formula above
+            # would run ~offset/m samples short and drop trailing
+            # rows/peaks the single-chip decode keeps.
+            def work_len_fn(n_true: int) -> int:
+                return n_true // m
 
         entry = (stage1, work_len_fn, guard, n_pad, d * w)
         self._stage1[key] = entry
@@ -287,11 +294,9 @@ class ShardedDecoder(Decoder):
             if context is not None:
                 context.status(0.5, "Syncing")
             sync_pos = self._select_peaks(corr_dev, max(0, work_true - guard))
-            log.info("Found %d sync frames", len(sync_pos))
-            if len(sync_pos) < 5:
-                raise err.InternalError(
-                    "Found less than 5 sync frames, audio file is too short or too noisy"
-                )
+            bad = _check_sync_count(sync_pos)
+            if bad is not None:
+                raise bad
             rows_pos = [p for p in sync_pos[:-1] if p + spr < work_true]
         else:
             if context is not None:
@@ -360,8 +365,9 @@ def batch_decode(
             # list crosses the link, like the single-chip path (the full
             # correlation row would be work_pad * 4 bytes per pass).
             sync_pos = decoder._select_peaks(corr_dev[i], max(0, work_true - guard))
-            if len(sync_pos) < 5:
-                raise err.InternalError("Found less than 5 sync frames")
+            bad = _check_sync_count(sync_pos)
+            if bad is not None:
+                raise bad
             rows_pos = [p for p in sync_pos[:-1] if p + spr < work_true]
         else:
             sync_pos = None

@@ -382,3 +382,35 @@ def test_batched_fused_render_matches_unbatched():
     for a, b in zip(got, got2):
         assert a[1] == b[1]
         np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_batched_fused_render_isolates_too_short_member():
+    """A member too short to decode at all (< 10 rows) becomes an error
+    ENTRY at its original index; batchmates decode normally (previously
+    one short member failed the whole batch)."""
+    from noaa_apt_tpu.err import AptError
+
+    dec = Decoder(STANDARD)
+    good, _ = synth_recording(n_rows=16, sample_rate=11025, seed=0)
+    tiny, _ = synth_recording(n_rows=12, sample_rate=11025, seed=1)
+    tiny = tiny[: 11025 * 2]  # ~4 rows of audio: under the 10-row guard
+    sigs = [good, tiny, good]
+    trues = [len(s) for s in sigs]
+
+    got = dec.decode_render_input_batch(sigs, trues, Rate(11025))
+    assert len(got) == 3
+    assert isinstance(got[1], AptError) and "too short" in str(got[1])
+    want_gray, want_sync = dec.decode_render_input(good, len(good), Rate(11025))
+    for idx in (0, 2):
+        gray, sync_pos = got[idx]
+        assert sync_pos == want_sync
+        np.testing.assert_array_equal(gray, want_gray)
+
+    # Deferred variant splices identically; all-short batch is all errors.
+    pending = dec.decode_render_input_batch(sigs, trues, Rate(11025), fetch=False)
+    got2 = pending.get()
+    assert isinstance(got2[1], AptError)
+    np.testing.assert_array_equal(got2[0][0], want_gray)
+
+    all_short = dec.decode_render_input_batch([tiny, tiny], [len(tiny)] * 2, Rate(11025))
+    assert all(isinstance(g, AptError) for g in all_short)

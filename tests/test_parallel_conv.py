@@ -57,3 +57,31 @@ def test_sharded_l1_equals_single_chip(rate_hz, n_dev):
     sharded = ShardedDecoder(STANDARD, mesh).decode(signal, rate)
     assert sharded.sync_positions == single.sync_positions
     np.testing.assert_array_equal(single.image_np(), sharded.image_np())
+
+
+def test_sharded_work_length_matches_single_chip_formula():
+    """The sharded decoder's work-length function must agree with the
+    single-chip plan for EVERY recording length, not just lucky ones:
+    for l == 1 the lengths are n_true // m (causal filter + decimate),
+    and a mismatch silently drops trailing rows/sync peaks only when a
+    peak lands in the missing tail."""
+    from noaa_apt_tpu.graph.decode import _plan_resample_with_filter
+    from noaa_apt_tpu.core.filters import LowpassDcRemoval
+    from noaa_apt_tpu.core.frequency import Freq
+
+    for rate_hz in (24960, 12480, 11025, 48000):
+        rate = Rate(rate_hz)
+        p = STANDARD
+        filt = LowpassDcRemoval(
+            cutout=Freq.hz(p.resample_cutout, rate),
+            atten=p.resample_atten,
+            delta_w=Freq.hz(p.resample_delta_freq, rate),
+        )
+        _, out_len, _ = _plan_resample_with_filter(
+            2_000_000, rate, Rate(p.work_rate), filt
+        )
+        mesh = Mesh(np.array(jax.devices()[:2]), ("seq",))
+        sd = ShardedDecoder(STANDARD, mesh)
+        _, work_len_fn, _, _, _ = sd._get_stage1_sharded(2_000_000, rate)
+        for n_true in (199_680, 249_600, 249_601, 500_000, 1_999_999):
+            assert work_len_fn(n_true) == out_len(n_true), (rate_hz, n_true)
