@@ -182,7 +182,9 @@ def main():
     single_device = duration_s / _time_runs(run_device, 2, 3, "single/device-ingest")
 
     # -- 3. link bandwidth probe (30 MB, the host-ingest upload size) --
-    work_len = len(dec._host_ingest(signal, rate))
+    # The probe only needs the right byte count — no reason to run a
+    # full polyphase resample for a length.
+    work_len = len(signal) * STANDARD.work_rate // SAMPLE_RATE
     up_mbps, down_mbps = _link_probe(work_len * 4)
     log(f"link: upload {up_mbps:.1f} MB/s, fetch {down_mbps:.1f} MB/s")
 
@@ -245,7 +247,6 @@ def main():
     # on-device greedy sync -> row gather -> percent levels -> u8), the
     # same one jit the serving path dispatches; only two scalars come
     # back over the link.
-    work = dec._host_ingest(signal, rate)
     n_pad_in = pad_bucket(len(signal))
     xin = np.zeros(n_pad_in, np.int16)
     xin[: len(signal)] = signal

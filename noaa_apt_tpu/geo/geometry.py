@@ -48,5 +48,8 @@ def reckon(latlon: tuple[float, float], rng: float, az: float) -> tuple[float, f
     sin_y = math.sin(az) * math.sin(rng) / math.cos(lato)
     y = math.atan2(sin_y, cos_y)
     lono = lon + y
-    lono = (lono + PI) % (2 * PI) - PI
+    # Rust % is fmod (sign of the dividend), not Python's floored mod:
+    # for lono + PI < 0 the reference stays negative (its documented
+    # out-of-range quirk, geo.rs:95) — keep that behavior.
+    lono = math.fmod(lono + PI, 2 * PI) - PI
     return lato, lono

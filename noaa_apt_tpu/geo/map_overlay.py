@@ -97,21 +97,29 @@ def xiaolin_wu(p1: tuple[float, float], p2: tuple[float, float]):
 
 
 def _blend_pixel(img: np.ndarray, x: int, y: int, rgba: tuple[int, int, int, int]) -> None:
-    """Alpha-composite one RGBA pixel (the image crate's ``Rgba::blend``
-    semantics: float compositing, truncating cast back to u8)."""
+    """Alpha-composite one RGBA pixel — the image crate v0.24's
+    ``Rgba::<u8>::blend`` op for op: f32 compositing in the normalized
+    0..1 domain, premultiplied channels, ``alpha_final = bg_a + fg_a -
+    bg_a*fg_a``, truncating cast back to u8.  Matching the dtype and
+    association keeps overlay pixels byte-identical to the reference
+    renderer."""
     sr, sg_, sb, sa = rgba
     if sa == 0:
         return
-    dr, dg, db, da = (int(v) for v in img[y, x])
-    asf = sa / 255.0
-    adf = da / 255.0
-    ao = asf + adf * (1.0 - asf)
+    if sa == 255:
+        img[y, x] = (sr, sg_, sb, 255)
+        return
+    f32 = np.float32
+    dr, dg, db, da = (f32(v) / f32(255.0) for v in img[y, x])
+    fr, fg_, fb, fa = (f32(v) / f32(255.0) for v in (sr, sg_, sb, sa))
+    ao = da + fa - da * fa
     if ao == 0.0:
         return
-    img[y, x, 0] = int((sr * asf + dr * adf * (1 - asf)) / ao)
-    img[y, x, 1] = int((sg_ * asf + dg * adf * (1 - asf)) / ao)
-    img[y, x, 2] = int((sb * asf + db * adf * (1 - asf)) / ao)
-    img[y, x, 3] = int(ao * 255.0)
+    inv = f32(1.0) - fa
+    img[y, x, 0] = int(f32(255.0) * ((fr * fa + dr * da * inv) / ao))
+    img[y, x, 1] = int(f32(255.0) * ((fg_ * fa + dg * da * inv) / ao))
+    img[y, x, 2] = int(f32(255.0) * ((fb * fa + db * da * inv) / ao))
+    img[y, x, 3] = int(f32(255.0) * ao)
 
 
 def _project_batch(
@@ -287,20 +295,34 @@ def _blend_ordered(
     group_start = np.maximum.accumulate(np.where(new_group, np.arange(len(spix)), 0))
     rank = np.arange(len(spix)) - group_start
     sr, sg_, sb, _ = color
+    f32 = np.float32
     for r in range(int(rank.max()) + 1):
         sel = order[rank == r]
         x_r, y_r, sa_r = xs[sel], ys[sel], sa[sel]
-        dst = img[y_r, x_r].astype(np.float64)
-        asf = sa_r / 255.0
-        adf = dst[:, 3] / 255.0
-        inv = 1.0 - asf
-        ao = asf + adf * inv
+        # image crate v0.24 Rgba::<u8>::blend, vectorized: f32 in the
+        # normalized 0..1 domain, premultiplied, alpha_final =
+        # bg_a + fg_a - bg_a*fg_a, truncating u8 cast (see
+        # _blend_pixel).  fg_a == 255 is the crate's full-replace
+        # early-out; fg_a == 0 was filtered above.
+        dst = img[y_r, x_r].astype(f32) / f32(255.0)
+        fa = sa_r.astype(f32) / f32(255.0)
+        da = dst[:, 3]
+        ao = da + fa - da * fa
+        inv = f32(1.0) - fa
+        fgc = np.array([sr, sg_, sb], dtype=f32) / f32(255.0)
         out = np.empty_like(dst)
-        out[:, 0] = (sr * asf + dst[:, 0] * adf * inv) / ao
-        out[:, 1] = (sg_ * asf + dst[:, 1] * adf * inv) / ao
-        out[:, 2] = (sb * asf + dst[:, 2] * adf * inv) / ao
-        out[:, 3] = ao * 255.0
-        img[y_r, x_r] = np.clip(np.floor(out), 0.0, 255.0).astype(np.uint8)
+        safe_ao = np.where(ao == 0.0, f32(1.0), ao)
+        for c in range(3):
+            out[:, c] = (fgc[c] * fa + dst[:, c] * da * inv) / safe_ao
+        out[:, 3] = ao
+        res = np.clip(np.trunc(out * f32(255.0)), 0.0, 255.0).astype(np.uint8)
+        replace = sa_r == 255
+        if replace.any():
+            res[replace] = np.array([sr, sg_, sb, 255], dtype=np.uint8)
+        skip = ao == 0.0
+        if skip.any():
+            res[skip] = img[y_r, x_r][skip]
+        img[y_r, x_r] = res
 
 
 def _rasterize_segments(

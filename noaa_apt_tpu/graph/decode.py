@@ -612,6 +612,10 @@ class Decoder:
         graph — no pinning needed.  The knife-edge hazard lives in the
         LEVEL arithmetic instead (see :func:`_seq_mul_add`)."""
         v = (img - low) / (high - low) * jnp.float32(255.0)
+        # A zero range (flat signal) gives 0/0 = NaN; Rust
+        # f32::max(NaN, 0.) returns 0 while XLA max propagates NaN into
+        # an undefined u8 cast — make NaN -> 0 explicit.
+        v = jnp.where(jnp.isnan(v), jnp.float32(0.0), v)
         v = jnp.minimum(jnp.maximum(v, 0.0), 255.0)
         return jnp.floor(v + jnp.float32(0.5)).astype(jnp.uint8)
 

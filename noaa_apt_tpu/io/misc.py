@@ -159,8 +159,10 @@ def parse_filename(filename: str, fmt: str, tz: timezone) -> Optional[tuple[RefT
                 return None
             sat = _closest_freq(int(s))
         elif spec.isdigit():
-            if take(int(spec)) is None:
-                return None
+            # Reference skip() advances a char iterator with next(),
+            # which is a no-op past the end (misc.rs:216-220) — a skip
+            # larger than the remaining filename still succeeds.
+            fi = min(n, fi + int(spec))
         else:
             return None  # invalid format option
 

@@ -73,6 +73,10 @@ def load_wav(path, raw_int16: bool = False) -> tuple[np.ndarray, WavSpec]:
         off += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise err.WavOpenError(f"{path}: missing fmt/data chunk")
+    if len(fmt) < 16:
+        # A truncated fmt chunk would otherwise escape as a raw
+        # struct.error instead of the documented open error.
+        raise err.WavOpenError(f"{path}: fmt chunk too short ({len(fmt)} bytes)")
 
     (audio_fmt, channels, sample_rate, _brate, _align, bits) = struct.unpack_from(
         "<HHIIHH", fmt, 0

@@ -26,7 +26,15 @@ _tried = False
 
 
 def _build() -> bool:
-    base = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", str(_LIB), str(_SRC)]
+    # -ffp-contract=off: without it -O3 (-march=native especially)
+    # fuses mul+add into FMA inside the exact-mode dot products,
+    # skipping the intermediate f32 rounding the bit-exactness
+    # contract (and the NumPy fallback) requires — decoded pixels
+    # would differ between native and fallback hosts.
+    base = [
+        "g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC", "-pthread",
+        "-o", str(_LIB), str(_SRC),
+    ]
     for flags in (["-march=native"], []):
         try:
             subprocess.run(

@@ -74,10 +74,14 @@ def map_signal_u8(signal: np.ndarray, low: float, high: float) -> np.ndarray:
     """Affine map to u8 with clamping; ``low -> 0``, ``high -> 255``.
 
     Rust f32::round is half-away-from-zero; after clamping to [0, 255]
-    that equals floor(v + 0.5).
+    that equals floor(v + 0.5).  ``fmax``/``fmin`` (not
+    ``maximum``/``minimum``) match Rust ``f32::max``/``min`` returning
+    the non-NaN operand: a zero range (flat signal) yields 0/0 = NaN
+    and must map to 0 like the reference, not propagate into an
+    undefined NaN->u8 cast.
     """
     signal = np.asarray(signal, dtype=np.float32)
     rng = np.float32(high) - np.float32(low)
     v = (signal - np.float32(low)) / rng * np.float32(255.0)
-    v = np.minimum(np.maximum(v, np.float32(0.0)), np.float32(255.0))
+    v = np.fmin(np.fmax(v, np.float32(0.0)), np.float32(255.0))
     return np.floor(v + np.float32(0.5)).astype(np.uint8)

@@ -4,8 +4,8 @@ Behavioral contract: reference ``src/telemetry.rs``.  The per-row
 band means/variances and the frame cross-correlation are vectorized
 NumPy (the data is tiny: one value per image row); the wedge averaging,
 quality estimation and channel-name classification follow the reference
-exactly — including Rust ``Iterator::min_by`` keeping the *last* of
-equal minima.
+exactly — including Rust ``Iterator::min_by`` keeping the *first* of
+equal minima (it is ``max_by`` that keeps the last).
 """
 
 from __future__ import annotations
@@ -73,14 +73,14 @@ class Telemetry:
 
     def get_channel_name(self, channel: str) -> str:
         """Classify by nearest contrast wedge to wedge 16
-        (telemetry.rs:91-117; ties keep the LAST minimum, as Rust
+        (telemetry.rs:91-117; ties keep the FIRST minimum, as Rust
         ``min_by`` does)."""
         value = self.get_wedge_value(16, channel)
         best_name = None
         best_diff = None
         for i in range(1, 10):
             diff = abs(self.get_wedge_value(i, None) - value)
-            if best_diff is None or diff <= best_diff:
+            if best_diff is None or diff < best_diff:
                 best_diff = diff
                 best_name = CHANNEL_NAMES[i - 1]
         return best_name

@@ -25,6 +25,7 @@ from typing import Iterable, Optional
 import numpy as np
 
 from . import err
+from .io.png import write_gray_png
 from .core.profiles import DecodeProfile, STANDARD
 from .graph.decode import Decoder, PendingRender, PendingRenderTelemetry, pad_bucket
 from .graph.process import finish_image, process
@@ -250,7 +251,14 @@ def decode_fleet(
                         # sync=False): channels are replicated gray.
                         img = np.ascontiguousarray(img[..., 0])
                 out = out_dir / (out_name + ".png")
-                Image.fromarray(img).save(out, compress_level=png_compress_level)
+                if img.ndim == 2:
+                    # Mode-L: the raw-scanline writer skips PIL's
+                    # per-row filter heuristics — ~2x less encode CPU
+                    # for ~20% larger files, the right trade on a
+                    # serving host where encode is a top-2 stage.
+                    write_gray_png(out, img, level=png_compress_level)
+                else:
+                    Image.fromarray(img).save(out, compress_level=png_compress_level)
                 res_item.output_path = out
                 res_item.encode_s = time.time() - t0
                 res_item.seconds += res_item.encode_s

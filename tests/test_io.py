@@ -187,3 +187,22 @@ def test_parse_version_semver():
 
     with _pytest.raises(ValueError):
         parse_version("1.5")
+
+
+def test_fast_gray_png_roundtrip():
+    """The raw-scanline gray PNG writer must decode to identical pixels
+    (PNG is lossless; only the container differs from PIL's)."""
+    from PIL import Image
+
+    from noaa_apt_tpu.io.png import encode_gray_png
+
+    import io as _io
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (37, 211), dtype=np.uint8)
+    data = encode_gray_png(img)
+    back = np.asarray(Image.open(_io.BytesIO(data)))
+    np.testing.assert_array_equal(back, img)
+
+    with pytest.raises(ValueError, match="uint8"):
+        encode_gray_png(img.astype(np.float32))

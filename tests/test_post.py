@@ -69,6 +69,9 @@ def test_telemetry_channel_names():
         ("1", 1.4, "2", 1.6),
         ("3a", 2.6, "3a", 3.4),
         ("1", -1000.0, "5", 5.4),
+        # Exact ties: Rust Iterator::min_by keeps the FIRST equal
+        # minimum (telemetry.rs:108), so 1.5 names "1", not "2".
+        ("1", 1.5, "3a", 3.5),
     ]
     for name_a, val_a, name_b, val_b in cases:
         t = Telemetry(np.array(sample + [val_a]), np.array(sample + [val_b]))
