@@ -448,8 +448,12 @@ def _run(args) -> int:
         log.info("Saved %s", out)
         return 0
 
-    if settings.export_wav:
+    if settings.export_wav or settings.export_resample_filtered:
         # Step-export path runs the eager stage-by-stage pipeline.
+        # export_resample_filtered alone must also route here: in the
+        # reference it flips fast_resampling into its export branch,
+        # which CHANGES the decimation grid (dsp.rs:265-276) even when
+        # no step WAVs are written.
         from .graph.debug import decode_with_steps
 
         raw = decode_with_steps(context, profile, signal, rate, args.sync)

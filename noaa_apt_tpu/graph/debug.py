@@ -51,18 +51,31 @@ def resample_with_filter(
                 f"output_rate: {output_rate.get_hz()}, l: {l}, m: {m}"
             )
         coeff = filt.resample(input_rate, interpolated).design()
+        export_grid = context is not None and context.export_resample_filtered
+        ef = (
+            np.asarray(rs.expanded_filtered(signal, l, coeff))
+            if export_grid
+            else np.zeros(0, np.float32)
+        )
         if context is not None:
             context.step_filter("resample_filter", coeff)
             # The reference always sends this step (empty when the flag
             # is off) so the expected-step slot advances (dsp.rs:281-285).
-            ef = (
-                np.asarray(rs.expanded_filtered(signal, l, coeff))
-                if context.export_resample_filtered
-                else np.zeros(0, np.float32)
-            )
             context.step_signal("resample_filtered", ef, Rate(input_rate.get_hz() * l))
-        plan = rs.resample_plan(int(signal.shape[0]), l, m, coeff)
-        result = rs.fast_resample(signal, plan)
+        if export_grid:
+            # Reference quirk (dsp.rs:265-276): the export branch
+            # advances t by 1 and emits when (t+1) % m == 0, so outputs
+            # sit at interpolated positions t ≡ m-1 (mod m) — a
+            # DIFFERENT decimation phase than the flag-off grid
+            # offset + k*m.  --export-resample-filtered therefore
+            # changes the decoded samples in the reference, and this
+            # path reproduces that (documented in PARITY.md).
+            offset = (len(coeff) - 1) // 2
+            first = offset + ((m - 1 - offset) % m)
+            result = jnp.asarray(ef[first - offset :: m])
+        else:
+            plan = rs.resample_plan(int(signal.shape[0]), l, m, coeff)
+            result = rs.fast_resample(signal, plan)
         if context is not None:
             context.step_signal("resample_decimated", np.asarray(result), output_rate)
         return result

@@ -150,9 +150,12 @@ def decode() -> threading.Thread | None:
                 progress_callback, Rate(settings.work_rate), Rate(FINAL_RATE),
                 wav_steps, resample_step,
             )
-            if wav_steps:
+            if wav_steps or resample_step:
                 # Step-export runs the eager stage-by-stage pipeline;
-                # the result is the flat FINAL_RATE signal.
+                # the result is the flat FINAL_RATE signal.  The
+                # resample_step flag alone also routes here: in the
+                # reference it changes the resampler's decimation grid
+                # (dsp.rs:265-276) even without step WAVs.
                 from ..graph.debug import decode_with_steps
 
                 raw = decode_with_steps(context, settings.profile(), signal, rate, sync)

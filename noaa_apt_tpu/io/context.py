@@ -80,9 +80,11 @@ class Context:
         output_dir: Path | str = ".",
     ):
         self.steps_metadata = steps_metadata
+        # Public flag name matches the reference (context.rs:108); the
+        # reference keeps a second private export_wav that is always
+        # equal — one attribute is enough here.
         self.export_steps = export_wav
         self.export_resample_filtered = export_resample_filtered
-        self._export_wav = export_wav
         self._index = 0
         self._ui_callback = ui_callback
         self.output_dir = Path(output_dir)
@@ -109,7 +111,7 @@ class Context:
     def step(self, variant: str, step_id: str, signal, rate: Rate | None = None) -> None:
         """Export one step (context.rs:132-211 semantics: match ids
         against the expected ordered list, ignore unknown ids)."""
-        if not self._export_wav:
+        if not self.export_steps:
             return
         log.debug("Got step: %s", step_id)
         if self._index >= len(self.steps_metadata):

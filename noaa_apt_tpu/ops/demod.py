@@ -4,7 +4,12 @@ Behavioral contract: reference ``src/dsp.rs:350-383`` (expression from
 pietern/apt137):
 
     y[i] = sqrt(x[i-1]^2 + x[i]^2 - x[i-1]*x[i]*2*cos(phi)) / sin(phi)
-    phi  = 2*pi * carrier_freq / sample_rate,   y[0] = 0
+    phi  = 2 * (2*pi * carrier_freq / sample_rate),   y[0] = 0
+
+The doubled phi reproduces the reference verbatim (dsp.rs:361 does
+``2. * carrier_freq.get_rad()``, get_rad() already being the per-sample
+phase step) — the envelope identity itself would want the single step,
+but bit-parity wins; do NOT "fix" the factor.
 
 Pure elementwise work; XLA fuses it into neighboring stages so it never
 touches HBM on its own.
@@ -22,7 +27,9 @@ from ..core.frequency import Freq
 
 
 def demod_constants(carrier: Freq) -> tuple[np.float32, np.float32]:
-    """(2*cos(phi), sin(phi)) in f32, phi = 2 * carrier.rad (dsp.rs:360-363)."""
+    """(2*cos(phi), sin(phi)) in f32, phi = 2 * carrier.get_rad() — the
+    reference's deliberately doubled phase step (dsp.rs:360-363; see
+    module docstring)."""
     phi = np.float32(2.0) * carrier.get_rad()
     return np.float32(np.cos(phi) * np.float32(2.0)), np.float32(np.sin(phi))
 

@@ -191,6 +191,13 @@ def _find_sync_peaks_device(corr: jnp.ndarray, n_valid, spr: int, md: int, max_p
     return peaks, k
 
 
+def selector_params(corr_len: int, work_rate: Rate) -> tuple[int, int, int]:
+    """(spr, min-distance, max_peaks) for the greedy selector — the one
+    definition every backend (and the conformance sweep) must share."""
+    spr = _row_samples(work_rate.get_hz())
+    return spr, spr * 8 // 10, max(16, corr_len // spr + 16)
+
+
 def find_sync_peaks_device(corr_dev, n_valid: int, work_rate: Rate) -> list[int]:
     """On-device greedy selection over ``corr_dev[:n_valid]``; returns
     the host peak list (a tiny fetch instead of the whole correlation).
@@ -199,9 +206,7 @@ def find_sync_peaks_device(corr_dev, n_valid: int, work_rate: Rate) -> list[int]
     through VMEM; ~4x the while_loop's speed — ops/pallas_select.py);
     elsewhere the XLA jump-form while_loop.  Both are selected
     peak-for-peak identically (tests/test_ops.py cross-checks)."""
-    spr = _row_samples(work_rate.get_hz())
-    md = spr * 8 // 10
-    max_peaks = max(16, int(corr_dev.shape[0]) // spr + 16)
+    spr, md, max_peaks = selector_params(int(corr_dev.shape[0]), work_rate)
     if jax.default_backend() == "tpu":
         from .pallas_select import select_peaks_jit
 

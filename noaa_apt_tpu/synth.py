@@ -69,7 +69,6 @@ def apt_pattern(
     telemetry_start_row: int = 0,
 ) -> np.ndarray:
     """Build a full [n_rows, 2080] luminance matrix (values 0..255)."""
-    rng = np.random.default_rng(42)
     if image_a is None:
         x = np.linspace(0, 255, PX_CHANNEL_IMAGE_DATA, dtype=np.float32)
         image_a = np.tile(x, (n_rows, 1))
@@ -96,7 +95,6 @@ def apt_pattern(
     rows[:, b0 + x0 + PX_CHANNEL_IMAGE_DATA :] = telemetry_column(
         n_rows, channel_b_id, telemetry_start_row
     )[:, None]
-    del rng
     return rows
 
 

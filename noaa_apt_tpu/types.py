@@ -103,7 +103,11 @@ class MapSettings:
 
 @dataclass(frozen=True)
 class OrbitSettings:
+    # ref_time is mandatory in the reference (noaa_apt.rs:75-109);
+    # every constructor here passes it, and orbit/rotation code
+    # dereferences it unconditionally — annotate honestly rather than
+    # masking a missing value as a valid default.
     sat_name: SatName
+    ref_time: RefTime
     custom_tle: Optional[str] = None
-    ref_time: RefTime = None
     draw_map: Optional[MapSettings] = None

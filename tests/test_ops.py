@@ -343,3 +343,68 @@ def test_pallas_selector_chunk_boundaries(seed):
     )
     got = np.asarray(peaks[: int(k)]).tolist()
     assert got == find_sync_peaks(corr[:n_valid], wr)
+
+
+def test_export_resample_filtered_changes_decimation_grid():
+    """Reference quirk (dsp.rs:265-276): the export branch advances t
+    by 1 and emits when (t+1) % m == 0, so --export-resample-filtered
+    shifts the decimation phase relative to the flag-off grid
+    offset + k*m.  The debug path must reproduce it (oracle: literal
+    port of the reference export loop)."""
+    import jax.numpy as jnp
+
+    from noaa_apt_tpu.core import Lowpass
+    from noaa_apt_tpu.core.frequency import Freq, Rate
+    from noaa_apt_tpu.graph.debug import resample_with_filter
+    from noaa_apt_tpu.io.context import Context
+
+    def oracle_export(signal, l, m, coeff):
+        # dsp.rs:233-276 export branch, f32, literal
+        f32 = np.float32
+        interpolated_len = len(signal) * l
+        offset = (len(coeff) - 1) // 2
+        out = []
+        t = offset
+        while t < interpolated_len:
+            if t > offset:
+                n = t - offset
+                rem = n % l
+                if rem:
+                    n += l - rem
+            else:
+                n = 0
+            s = f32(0.0)
+            x = n // l
+            while n <= t + offset:
+                if x < len(signal):
+                    s = f32(s + f32(coeff[n + offset - t]) * f32(signal[x]))
+                x += 1
+                n += l
+            t += 1
+            if t % m == 0:
+                out.append(s)
+        return np.array(out, f32)
+
+    rng = np.random.default_rng(7)
+    signal = rng.normal(0, 0.5, 400).astype(np.float32)
+    in_rate, out_rate = Rate(5000), Rate(12480)  # l=312, m=125
+    filt = Lowpass(cutout=Freq.hz(2400.0, in_rate), atten=30.0, delta_w=Freq.hz(500.0, in_rate))
+
+    outputs = {}
+    for flag in (False, True):
+        ctx = Context.decode(
+            lambda *_: None, Rate(12480), Rate(4160),
+            export_wav=False, export_resample_filtered=flag,
+        )
+        outputs[flag] = np.asarray(
+            resample_with_filter(ctx, jnp.asarray(signal), in_rate, out_rate, filt)
+        )
+
+    l, m = 312, 125
+    coeff = filt.resample(in_rate, Rate(in_rate.get_hz() * l)).design()
+    want = oracle_export(signal, l, m, coeff)
+    assert outputs[True].shape == want.shape
+    np.testing.assert_allclose(outputs[True], want, rtol=2e-4, atol=2e-5)
+    # ...and it is genuinely a different grid than the flag-off output.
+    assert (len(coeff) - 1) // 2 % m != m - 1
+    assert not np.allclose(outputs[True][:200], outputs[False][:200], atol=1e-4)

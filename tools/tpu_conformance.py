@@ -88,15 +88,19 @@ def check_combo(profile, rate_hz: int, n_rows: int) -> None:
     n_valid = max(0, work_len_fn(len(signal)) - guard)
 
     host_peaks = sy.find_sync_peaks(np.asarray(corr_dev[:n_valid]), dec.work_rate)
-    dev_peaks = sy.find_sync_peaks_device(corr_dev, n_valid, dec.work_rate)
-    assert host_peaks == dev_peaks, f"{tag}: device while_loop selector != host scan"
+    # All three device legs are invoked EXPLICITLY: on TPU,
+    # find_sync_peaks_device dispatches to the Pallas kernel, so going
+    # through it would compare the Pallas selector against itself and
+    # never exercise the XLA while_loop on hardware.
+    spr, md, max_peaks = sy.selector_params(int(corr_dev.shape[0]), dec.work_rate)
+    peaks_w, k_w = sy._find_sync_peaks_device(corr_dev, np.int32(n_valid), spr, md, max_peaks)
+    wl_peaks = np.asarray(peaks_w)[: int(k_w)].tolist()
+    assert wl_peaks == host_peaks, f"{tag}: device while_loop selector != host scan"
 
     from noaa_apt_tpu.ops.pallas_select import select_peaks
 
-    spr = dec.samples_per_work_row
     peaks_p, k_p = select_peaks(
-        corr_dev, np.int32(n_valid), spr, spr * 8 // 10,
-        max(16, int(corr_dev.shape[0]) // spr + 16),
+        corr_dev, np.int32(n_valid), spr, md, max_peaks,
         interpret=not on_tpu,
     )
     pallas_peaks = np.asarray(peaks_p)[: int(k_p)].tolist()
