@@ -206,3 +206,46 @@ def test_fast_gray_png_roundtrip():
 
     with pytest.raises(ValueError, match="uint8"):
         encode_gray_png(img.astype(np.float32))
+
+
+def test_wav_loader_never_leaks_raw_exceptions(tmp_path):
+    """Every malformed WAV must surface as err.AptError (the CLI's one
+    catch point), never struct.error/ValueError tracebacks: truncation
+    at every interesting boundary plus corrupted chunk sizes."""
+    from noaa_apt_tpu import err as apt_err
+    from noaa_apt_tpu.io.wav import load_wav
+    from noaa_apt_tpu.io import wav as wav_mod
+    from noaa_apt_tpu.synth import synth_recording
+
+    sig, _ = synth_recording(n_rows=12, sample_rate=11025)
+    good = tmp_path / "good.wav"
+    wav_mod.write_wav(good, sig, wav_mod.WavSpec(1, 11025, 16, "int"))
+    raw = good.read_bytes()
+
+    cases = []
+    # truncations at/around every header boundary
+    for cut in (0, 4, 11, 12, 16, 20, 21, 35, 36, 40, 43, 44, 45, 100):
+        cases.append(raw[:cut])
+    # fmt chunk claiming a short size
+    broken = bytearray(raw)
+    broken[16:20] = (8).to_bytes(4, "little")  # fmt size 8 < 16
+    cases.append(bytes(broken))
+    # absurd chunk size (beyond the file)
+    broken = bytearray(raw)
+    broken[16:20] = (2**31).to_bytes(4, "little")
+    cases.append(bytes(broken))
+    # wrong magic
+    cases.append(b"FFIR" + raw[4:])
+    cases.append(raw[:8] + b"EVAW" + raw[12:])
+
+    p = tmp_path / "bad.wav"
+    for i, data in enumerate(cases):
+        p.write_bytes(data)
+        try:
+            out, _spec = load_wav(p)
+            # loading is allowed to succeed (truncated-data tolerance),
+            # but must return a sane array
+            assert out.ndim == 1
+        except apt_err.AptError:
+            pass  # the documented failure mode
+        # anything else propagates and fails the test with its traceback
