@@ -222,3 +222,37 @@ def _all_config_texts(widget, acc=None):
     for ch in widget.children:
         _all_config_texts(ch, acc)
     return acc
+
+
+def test_app_preview_renders_valid_ppm(app, monkeypatch):
+    """The preview path hands Tk a raw PPM (no PNG/base64 on the
+    mainloop thread); the bytes must decode back to the preview
+    pixels."""
+    import io as _io
+
+    import numpy as np
+    import tkinter as tk
+    from PIL import Image
+
+    from noaa_apt_tpu.gui import misc as gmisc
+    from noaa_apt_tpu.gui.state import borrow_state, borrow_widgets
+
+    captured = {}
+
+    class CapturingPhoto:
+        def __init__(self, data=None):
+            captured["data"] = data
+
+    monkeypatch.setattr(tk, "PhotoImage", CapturingPhoto)
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 2080, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    borrow_state().processed_image = img
+    gmisc.update_image()
+
+    data = captured["data"]
+    assert isinstance(data, bytes) and data.startswith(b"P6")
+    decoded = np.asarray(Image.open(_io.BytesIO(data)))
+    preview = borrow_widgets().image.preview
+    np.testing.assert_array_equal(decoded, preview[..., :3])
