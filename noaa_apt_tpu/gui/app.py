@@ -132,6 +132,16 @@ class App:
         self.root = tk.Tk()
         self.root.title("noaa-apt")
         self.root.geometry("1000x640")
+        try:
+            # Window icon (gui.rs:65 sets the GTK default icon).
+            from ..io.config import res_path
+
+            icon = res_path("icon.png")
+            if icon.exists():
+                self._icon = tk.PhotoImage(file=str(icon))
+                self.root.iconphoto(True, self._icon)
+        except Exception:  # noqa: BLE001 — cosmetic, never fatal
+            pass
 
         self.widgets = w = Widgets()
         set_widgets(w)
