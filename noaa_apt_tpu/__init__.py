@@ -25,6 +25,7 @@ Layer map (mirrors SURVEY.md section 7):
 - :mod:`noaa_apt_tpu.geo`      SGP4, spherical trig, map overlay
 - :mod:`noaa_apt_tpu.io`       WAV/PNG/config/progress+step-export
 - :mod:`noaa_apt_tpu.serve`    pipelined many-pass fleet serving
+- :mod:`noaa_apt_tpu.stream`   live (chunked) decode, bit-exact vs offline
 - :mod:`noaa_apt_tpu.gui`      tkinter GUI over a headless logic core
 """
 
