@@ -166,6 +166,22 @@ def _sgp4init(s: Satrec) -> dict:
     delp = d1 / (adel * adel)
     no_unkozai = s.no_kozai / (1.0 + delp)
 
+    # Deep-space guard: the published SGP4 switches to the SDP4 model
+    # (lunar/solar + resonance terms) when the orbital period reaches
+    # 225 min (Vallado AIAA 2006-6753, sgp4init `method = 'd'`).  This
+    # implementation covers only the near-earth case the reference's
+    # NOAA passes ever hit (satellite-rs ships SDP4; geo.rs:198-251
+    # exercises near-earth only) — propagating a deep-space TLE here
+    # would silently return wrong positions, so refuse instead.
+    if no_unkozai <= 0.0 or _TWOPI / no_unkozai >= 225.0:
+        raise err.FeatureNotAvailableError(
+            f"TLE for {s.name or s.satnum!r} has an orbital period of "
+            f"{_TWOPI / no_unkozai if no_unkozai > 0 else float('inf'):.1f} min "
+            "(>= 225 min): a deep-space orbit requiring SDP4, which this "
+            "near-earth SGP4 implementation does not model. Map overlay "
+            "supports near-earth (e.g. NOAA POES) satellites only."
+        )
+
     ao = (_XKE / no_unkozai) ** _X2O3
     po = ao * omeosq
     con42 = 1.0 - 5.0 * cosio2

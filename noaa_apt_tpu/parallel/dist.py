@@ -33,6 +33,22 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+def _distributed_initialized() -> bool:
+    """Whether the multi-process JAX runtime is already up, asked of
+    the runtime itself (``jax.distributed.is_initialized()``, with the
+    underlying client state as fallback for versions without it)."""
+    import jax
+
+    if hasattr(jax.distributed, "is_initialized"):
+        return bool(jax.distributed.is_initialized())
+    try:  # pragma: no cover - old-JAX fallback
+        from jax._src import distributed
+
+        return distributed.global_state.client is not None
+    except Exception:
+        return False
+
+
 def init_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -60,23 +76,22 @@ def init_distributed(
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is not None or num_processes is not None:
-        try:
+        # Only a repeated initialize (e.g. the launcher already did it)
+        # is benign.  Anything else — unreachable coordinator,
+        # inconsistent process counts — must NOT degrade silently to
+        # single-host: with a 1-process view, fleet_shard would hand
+        # every host the ENTIRE recording list and N hosts would decode
+        # (and overwrite) the whole fleet N times.  Detect "already
+        # initialized" from the runtime's own state, never by matching
+        # exception message text (which changes across JAX versions).
+        if _distributed_initialized():
+            log.debug("jax.distributed already initialized; skipping")
+        else:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes,
                 process_id=process_id,
             )
-        except RuntimeError as e:
-            # Only a repeated initialize (e.g. the launcher already did
-            # it) is benign.  Anything else — unreachable coordinator,
-            # inconsistent process counts — must NOT degrade silently to
-            # single-host: with a 1-process view, fleet_shard would hand
-            # every host the ENTIRE recording list and N hosts would
-            # decode (and overwrite) the whole fleet N times.
-            if "already" in str(e).lower() or "once" in str(e).lower():
-                log.debug("jax.distributed.initialize: %s", e)
-            else:
-                raise
     return jax.process_count() > 1
 
 

@@ -157,9 +157,24 @@ def test_init_distributed_raises_on_bad_coordinator(monkeypatch):
         dist.init_distributed()
     assert called["args"] == ("127.0.0.1:1", 2, 0)
 
-    # ...but a repeated initialize stays benign (launcher already did it).
-    def fake_already(**kw):
-        raise RuntimeError("jax.distributed.initialize should only be called once")
+    # ...but an already-initialized runtime stays benign (launcher did
+    # it): detected from runtime state, so initialize is never re-run
+    # and NO exception-message parsing is involved.
+    def fake_never(**kw):  # would raise if reached
+        raise AssertionError("initialize must not be called when already up")
 
-    monkeypatch.setattr(jax.distributed, "initialize", fake_already)
+    monkeypatch.setattr(jax.distributed, "initialize", fake_never)
+    monkeypatch.setattr(dist, "_distributed_initialized", lambda: True)
     assert dist.init_distributed() is False  # 1-process view, no raise
+
+    # An error whose message merely CONTAINS "already"/"once" must still
+    # propagate when the runtime is NOT initialized (the old substring
+    # match would have swallowed it and degraded to single-host).
+    monkeypatch.setattr(dist, "_distributed_initialized", lambda: False)
+
+    def fake_misleading(**kw):
+        raise RuntimeError("barrier already timed out once: coordinator gone")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_misleading)
+    with pytest.raises(RuntimeError, match="barrier"):
+        dist.init_distributed()

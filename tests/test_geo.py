@@ -114,3 +114,28 @@ def test_find_satellite_missing():
 
     with pytest.raises(InternalError, match="not found"):
         sg.find_satellite(sg.parse_tle(TEST_TLE), "NOAA 99")
+
+
+# A geostationary TLE (GOES 16, period ~1436 min): deep-space, which
+# near-earth SGP4 cannot model — parsing must refuse, not silently
+# return wrong positions (the reference's satellite-rs ships SDP4).
+GEO_TLE = """GOES 16
+1 41866U 16071A   20028.50000000  .00000100  00000-0  00000+0 0  9993
+2 41866   0.0500 270.0000 0001000  90.0000 180.0000  1.00271000 11001"""
+
+
+def test_sgp4_deep_space_tle_rejected():
+    from noaa_apt_tpu.err import FeatureNotAvailableError
+
+    with pytest.raises(FeatureNotAvailableError, match="deep-space"):
+        sg.parse_tle(GEO_TLE)
+
+
+def test_sgp4_near_earth_boundary_accepted():
+    """A 200-min-period orbit is still near-earth: below the 225-min
+    SDP4 switch (Vallado sgp4init), so it must parse and propagate."""
+    mins = 200.0
+    revs_per_day = 1440.0 / mins
+    l2 = f"2 25338  98.7308  54.2052 0009655 316.5487  43.4931 {revs_per_day:11.8f}128892"
+    sats = sg.parse_tle("\n".join(["NEAR", TEST_TLE.splitlines()[1], l2]))
+    assert sats[0].name == "NEAR"
