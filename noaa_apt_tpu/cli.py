@@ -99,6 +99,22 @@ def build_parser() -> argparse.ArgumentParser:
         "information (same pixels, 1/4 the encode cost and file size); "
         "'rgba' keeps 4-channel files byte-compatible with single-file "
         "mode."))
+    p.add_argument("--stream", action="store_true", help=(
+        "TPU extension: live decode. Read the input as a stream — a WAV "
+        "byte stream or headerless raw PCM — from stdin (input '-'), a "
+        "pipe, or a file, emitting image rows as they finalize and the "
+        "PNG at end of stream. Rows are bit-identical to the offline "
+        "decode of the same samples."))
+    p.add_argument("--stream-rate", metavar="HZ", type=int, help=(
+        "Sample rate of a headerless raw PCM stream (ignored for WAV "
+        "streams, whose header carries it)."))
+    p.add_argument("--stream-format", choices=["s16", "f32"], default="s16", help=(
+        "Sample format of a headerless raw PCM stream: s16 (little-"
+        "endian int16, the common SDR pipe format) or f32. Default: s16."))
+    p.add_argument("--stream-update", metavar="N_ROWS", type=int, default=0, help=(
+        "Rewrite the output PNG every N newly finalized rows during the "
+        "stream (a live-updating preview with 98%%-percent contrast); "
+        "0 writes only the final image. Default: 0."))
     p.add_argument("--profile-trace", metavar="DIR", help=(
         "TPU extension: record a JAX/XLA profiler trace of the whole run "
         "(compiles, device kernels, host gaps) into DIR, viewable in "
@@ -273,6 +289,19 @@ def _run(args) -> int:
 
     profile = settings.profile()
     decoder_obj = None
+
+    if args.stream:
+        for flag, name in [
+            (settings.export_wav, "--wav-steps"),
+            (settings.export_resample_filtered, "--export-resample-filtered"),
+            (args.distributed, "--distributed"),
+        ]:
+            if flag:
+                print(f"{name} is not supported in stream mode")
+                return 1
+        return _stream_decode(
+            args, profile, contrast, rotate, color_settings, orbit_settings, context
+        )
 
     if Path(args.input_filename).is_dir():
         # Fleet mode: decode every WAV in the directory (serving path).
@@ -493,6 +522,103 @@ def _run(args) -> int:
     Image.fromarray(img).save(out)
     log.info("Saved %s", out)
     return 0
+
+
+def _stream_decode(
+    args, profile, contrast, rotate, color_settings, orbit_settings, context
+) -> int:
+    """Live decode (``--stream``): pull PCM from stdin/pipe/file through
+    :class:`~noaa_apt_tpu.stream.StreamingDecoder`, emitting rows as
+    they finalize and the full-pipeline PNG at end of stream.
+
+    The finalized rows are bit-identical to the offline decode of the
+    same samples (tests/test_stream.py), so the final image equals the
+    offline (non-fused) CLI path byte-for-byte.  No reference
+    counterpart — decode.rs:43-162 needs the whole recording in RAM.
+    """
+    import time
+
+    import numpy as np
+    from PIL import Image
+
+    from .graph.process import process
+    from .io.wav import PcmStreamReader
+    from .stream import StreamingDecoder
+
+    out = args.output or "./output.png"
+    if args.input_filename == "-":
+        f, close = sys.stdin.buffer, False
+    else:
+        try:
+            f, close = open(args.input_filename, "rb"), True
+        except OSError as e:
+            print(f"Could not open stream input: {e}")
+            return 1
+
+    rows: list = []
+    t0 = time.monotonic()
+    first_row_s = None
+    since_update = 0
+    try:
+        reader = PcmStreamReader(
+            f, rate=args.stream_rate, fmt="auto", raw_fmt=args.stream_format
+        )
+        log.info(
+            "stream: %d Hz, %s samples", reader.sample_rate, reader.spec.sample_format
+        )
+        sd = StreamingDecoder(profile, Rate(reader.sample_rate), sync=args.sync)
+        while True:
+            chunk = reader.read(reader.sample_rate)  # ~1 s of audio per pull
+            done = chunk is None
+            new = sd.finish() if done else sd.push(chunk)
+            if new.shape[0]:
+                if first_row_s is None:
+                    first_row_s = time.monotonic() - t0
+                    log.info("stream: first row after %.2f s", first_row_s)
+                rows.append(new)
+                since_update += new.shape[0]
+                context.status(
+                    0.1, f"Streaming: {sd.n_rows} rows ({sd.n_rows / 2:.0f} s of pass)"
+                )
+            if args.stream_update and since_update >= args.stream_update and rows:
+                _write_stream_preview(rows, out)
+                since_update = 0
+            if done:
+                break
+    finally:
+        if close:
+            f.close()
+
+    if not rows:
+        print("Stream ended before any image rows were decoded")
+        return 1
+    raw = np.concatenate(rows).reshape(-1)
+    if args.raw_out:
+        np.save(args.raw_out, raw)
+        log.info("Saved raw decoded signal to %s", args.raw_out)
+    img = process(raw, contrast, rotate, color_settings, orbit_settings, context)
+    Image.fromarray(img).save(out)
+    n_rows = raw.size // (img.shape[1])
+    log.info(
+        "Saved %s (%d rows; first row at %.2f s, stream done in %.2f s)",
+        out, n_rows, first_row_s or 0.0, time.monotonic() - t0,
+    )
+    return 0
+
+
+def _write_stream_preview(rows, out) -> None:
+    """Rewrite ``out`` with a 98%-stretch grayscale of the rows so far
+    (``--stream-update``): a cheap live preview; the final write goes
+    through the full :func:`process` pipeline."""
+    import numpy as np
+    from PIL import Image
+
+    from .post import contrast as ct
+
+    flat = np.concatenate(rows).reshape(-1)
+    low, high = ct.percent(flat, 0.98)
+    u8 = ct.map_signal_u8(flat, low, high).reshape(len(flat) // rows[0].shape[1], -1)
+    Image.fromarray(u8).save(out)
 
 
 def main() -> None:

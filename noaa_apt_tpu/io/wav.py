@@ -42,6 +42,42 @@ class WavSpec:
     sample_format: str  # "int" | "float"
 
 
+def _decode_pcm(data: bytes, audio_fmt: int, bits: int) -> tuple[str, np.ndarray]:
+    """Raw sample bytes -> ("int"|"float", sample array); trailing
+    partial samples are dropped (hound tolerance, noaa_apt.rs:114-130)."""
+    if audio_fmt == _FMT_PCM:
+        sample_format = "int"
+        if bits == 16:
+            arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+        elif bits == 32:
+            arr = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4")
+        elif bits == 8:
+            # 8-bit WAV is unsigned with 128 offset; hound exposes it as
+            # a signed value centered at 0.
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+        elif bits == 24:
+            b = np.frombuffer(data[: len(data) // 3 * 3], dtype=np.uint8).reshape(-1, 3)
+            arr = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            arr = (arr << 8) >> 8  # sign-extend
+        else:
+            raise err.WavOpenError(f"Unsupported PCM bit depth: {bits}")
+    elif audio_fmt == _FMT_FLOAT:
+        sample_format = "float"
+        if bits == 32:
+            arr = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4")
+        elif bits == 64:
+            arr = np.frombuffer(data[: len(data) // 8 * 8], dtype="<f8")
+        else:
+            raise err.WavOpenError(f"Unsupported float bit depth: {bits}")
+    else:
+        raise err.WavOpenError(f"Unsupported WAV format tag: {audio_fmt}")
+    return sample_format, arr
+
+
 def load_wav(path, raw_int16: bool = False) -> tuple[np.ndarray, WavSpec]:
     """Load a WAV file; returns (float32 channel-0 samples, spec).
 
@@ -84,36 +120,7 @@ def load_wav(path, raw_int16: bool = False) -> tuple[np.ndarray, WavSpec]:
     if audio_fmt == _FMT_EXTENSIBLE and len(fmt) >= 26:
         (audio_fmt,) = struct.unpack_from("<H", fmt, 24)
 
-    if audio_fmt == _FMT_PCM:
-        sample_format = "int"
-        if bits == 16:
-            arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
-        elif bits == 32:
-            arr = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4")
-        elif bits == 8:
-            # 8-bit WAV is unsigned with 128 offset; hound exposes it as
-            # a signed value centered at 0.
-            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
-        elif bits == 24:
-            b = np.frombuffer(data[: len(data) // 3 * 3], dtype=np.uint8).reshape(-1, 3)
-            arr = (
-                b[:, 0].astype(np.int32)
-                | (b[:, 1].astype(np.int32) << 8)
-                | (b[:, 2].astype(np.int32) << 16)
-            )
-            arr = (arr << 8) >> 8  # sign-extend
-        else:
-            raise err.WavOpenError(f"Unsupported PCM bit depth: {bits}")
-    elif audio_fmt == _FMT_FLOAT:
-        sample_format = "float"
-        if bits == 32:
-            arr = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4")
-        elif bits == 64:
-            arr = np.frombuffer(data[: len(data) // 8 * 8], dtype="<f8")
-        else:
-            raise err.WavOpenError(f"Unsupported float bit depth: {bits}")
-    else:
-        raise err.WavOpenError(f"Unsupported WAV format tag: {audio_fmt}")
+    sample_format, arr = _decode_pcm(data, audio_fmt, bits)
 
     if channels < 1:
         raise err.WavOpenError("WAV has zero channels")
@@ -178,6 +185,127 @@ def load(path) -> tuple[np.ndarray, Rate]:
     """Reference ``noaa_apt::load`` (``noaa_apt.rs:114-130``)."""
     signal, spec = load_wav(path)
     return signal, Rate(spec.sample_rate)
+
+
+class PcmStreamReader:
+    """Incremental PCM source for live decoding (``cli --stream``).
+
+    Wraps a binary file object (stdin, a pipe, a growing file) holding
+    either a WAV byte stream — the header is parsed up front, with the
+    same format support and truncation tolerance as :func:`load_wav` —
+    or headerless raw PCM, for which ``rate`` (Hz) and ``fmt``
+    (``"s16"`` little-endian i16, or ``"f32"``) must describe the
+    bytes.  ``fmt="auto"`` sniffs the first 12 bytes: RIFF/WAVE means
+    WAV, anything else raw PCM of format ``raw_fmt`` (requiring
+    ``rate``).
+
+    ``read(max_frames)`` returns the next float32 mono chunk at the
+    same scale as :func:`load_wav` (raw integer scale for int formats),
+    keeping channel 0 of multichannel data; ``None`` signals EOF.  A
+    lying WAV data-chunk size is ignored: data is read until the stream
+    ends (live sources often write a placeholder size).
+    """
+
+    def __init__(
+        self, fileobj, rate: int | None = None, fmt: str = "auto", raw_fmt: str = "s16"
+    ):
+        self._f = fileobj
+        self._buf = b""
+        self._eof = False
+        if fmt not in ("auto", "s16", "f32"):
+            raise err.InvalidInputError(f"stream format must be s16 or f32, got {fmt!r}")
+        if raw_fmt not in ("s16", "f32"):
+            raise err.InvalidInputError(
+                f"stream format must be s16 or f32, got {raw_fmt!r}"
+            )
+
+        head = b""
+        if fmt == "auto":
+            head = self._read_exact(12)
+            if len(head) >= 12 and head[0:4] == b"RIFF" and head[8:12] == b"WAVE":
+                self._init_wav()
+                return
+            # Not a WAV: the sniffed bytes are raw PCM payload.
+            self._buf = head + self._buf
+            fmt = raw_fmt
+        if rate is None:
+            raise err.InvalidInputError(
+                "raw PCM stream needs an explicit sample rate (--stream-rate)"
+            )
+        self._audio_fmt = _FMT_PCM if fmt == "s16" else _FMT_FLOAT
+        self._bits = 16 if fmt == "s16" else 32
+        self._channels = 1
+        self.spec = WavSpec(1, int(rate), self._bits, "int" if fmt == "s16" else "float")
+
+    def _read_exact(self, n: int) -> bytes:
+        """Up to n bytes, short only at EOF (pipes may return less per read)."""
+        out = b""
+        while len(out) < n and not self._eof:
+            b = self._f.read(n - len(out))
+            if not b:
+                self._eof = True
+                break
+            out += b
+        return out
+
+    def _init_wav(self) -> None:
+        fmt_body = None
+        while True:
+            hdr = self._read_exact(8)
+            if len(hdr) < 8:
+                raise err.WavOpenError("stream ended before a WAV data chunk")
+            cid = hdr[0:4]
+            (size,) = struct.unpack_from("<I", hdr, 4)
+            if cid == b"data":
+                break
+            body = self._read_exact(size + (size & 1))
+            if cid == b"fmt ":
+                fmt_body = body[:size]
+        if fmt_body is None or len(fmt_body) < 16:
+            raise err.WavOpenError("WAV stream: missing or short fmt chunk before data")
+        (audio_fmt, channels, sample_rate, _br, _ba, bits) = struct.unpack_from(
+            "<HHIIHH", fmt_body, 0
+        )
+        if audio_fmt == _FMT_EXTENSIBLE and len(fmt_body) >= 26:
+            (audio_fmt,) = struct.unpack_from("<H", fmt_body, 24)
+        if channels < 1:
+            raise err.WavOpenError("WAV has zero channels")
+        if channels != 1:
+            log.warning(
+                "WAV stream has %d channels (probably stereo), processing only the first one",
+                channels,
+            )
+        # Validate format support now, not at the first read.
+        _decode_pcm(b"", audio_fmt, bits)
+        self._audio_fmt, self._bits, self._channels = audio_fmt, bits, channels
+        self.spec = WavSpec(
+            channels, sample_rate, bits,
+            "float" if audio_fmt == _FMT_FLOAT else "int",
+        )
+
+    @property
+    def sample_rate(self) -> int:
+        return self.spec.sample_rate
+
+    def read(self, max_frames: int) -> np.ndarray | None:
+        """Next float32 chunk of up to ``max_frames`` mono frames;
+        ``None`` at end of stream."""
+        frame_bytes = self._channels * (self._bits // 8)
+        want = max_frames * frame_bytes
+        if len(self._buf) < want and not self._eof:
+            self._buf += self._read_exact(want - len(self._buf))
+        n_frames = len(self._buf) // frame_bytes
+        if n_frames == 0:
+            # Anything left is a partial frame — dropped, like load_wav.
+            return None
+        take, self._buf = (
+            self._buf[: n_frames * frame_bytes],
+            self._buf[n_frames * frame_bytes :],
+        )
+        _, arr = _decode_pcm(take, self._audio_fmt, self._bits)
+        if self._channels != 1:
+            arr = arr[:: self._channels]
+        return arr.astype(np.float32)
 
 
 def load_device_ready(path) -> tuple[np.ndarray, Rate]:

@@ -242,3 +242,80 @@ def test_fleet_png_flag(env):
     r = np.asarray(Image.open(Path("fo_rgba") / "p0.png"))
     assert a.ndim == 2 and r.ndim == 3 and r.shape[2] == 4
     np.testing.assert_array_equal(a, r[..., 0])
+
+
+class _ChunkedPipe:
+    """A binary stream that returns at most ``chunk`` bytes per read —
+    a pipe/SDR-like source that never hands over the whole recording."""
+
+    def __init__(self, data: bytes, chunk: int = 777):
+        self._data, self._i, self._chunk = data, 0, chunk
+
+    def read(self, n: int) -> bytes:
+        n = min(n, self._chunk)
+        b = self._data[self._i : self._i + n]
+        self._i += len(b)
+        return b
+
+
+def test_stream_wav_stdin_matches_offline(env, monkeypatch):
+    """--stream with a WAV byte stream on stdin (delivered in 777-byte
+    chunks) produces the byte-identical PNG and raw signal of the
+    offline (non-fused) decode of the same file."""
+    import sys
+    from types import SimpleNamespace
+
+    assert inner_main(
+        ["-q", "test_11025hz.wav", "--raw-out", "off.npy", "-o", "offline.png"]
+    ) == 0
+
+    data = Path("test_11025hz.wav").read_bytes()
+    monkeypatch.setattr(sys, "stdin", SimpleNamespace(buffer=_ChunkedPipe(data)))
+    assert inner_main(
+        ["-q", "-", "--stream", "--raw-out", "st.npy", "-o", "stream.png"]
+    ) == 0
+
+    np.testing.assert_array_equal(np.load("st.npy"), np.load("off.npy"))
+    assert Path("stream.png").read_bytes() == Path("offline.png").read_bytes()
+
+
+def test_stream_raw_pcm_file(env):
+    """--stream over a headerless s16 raw PCM file (--stream-rate) gives
+    the same image as the WAV stream of the same samples; --stream-update
+    exercises the live preview rewrite without changing the final PNG."""
+    samples, _spec = wav.load_wav("test_11025hz.wav", raw_int16=True)
+    Path("raw.pcm").write_bytes(samples.astype("<i2").tobytes())
+
+    assert inner_main(
+        ["-q", "raw.pcm", "--stream", "--stream-rate", "11025", "-o", "s_raw.png"]
+    ) == 0
+    assert inner_main(
+        ["-q", "raw.pcm", "--stream", "--stream-rate", "11025",
+         "--stream-update", "4", "-o", "s_upd.png"]
+    ) == 0
+    assert inner_main(
+        ["-q", "test_11025hz.wav", "--raw-out", "off2.npy", "-o", "offline2.png"]
+    ) == 0
+
+    assert Path("s_raw.png").read_bytes() == Path("offline2.png").read_bytes()
+    assert Path("s_upd.png").read_bytes() == Path("offline2.png").read_bytes()
+
+
+def test_stream_rejects_unsupported_flags(env, capsys):
+    assert inner_main(["-q", "test_11025hz.wav", "--stream", "--wav-steps"]) == 1
+    assert "--wav-steps" in capsys.readouterr().out
+    assert inner_main(
+        ["-q", "test_11025hz.wav", "--stream", "--distributed", "2"]
+    ) == 1
+
+
+def test_stream_raw_pcm_needs_rate(env):
+    """A raw PCM stream without --stream-rate is an InvalidInput error
+    (exit 1 through the single CLI exit point)."""
+    import pytest as _pytest
+
+    from noaa_apt_tpu import err
+
+    Path("raw2.pcm").write_bytes(b"\x00\x01" * 100)
+    with _pytest.raises(err.AptError):
+        inner_main(["-q", "raw2.pcm", "--stream"])
