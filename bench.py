@@ -98,7 +98,18 @@ def _fleet_inputs() -> list[Path]:
     return paths
 
 
+def _median(xs) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
 def _time_runs(fn, n_warm: int, n_run: int, label: str) -> float:
+    """Median wall time over n_run trials (after n_warm warmups).
+
+    Median, not min: the tunnel to the device varies run to run, and
+    the reported figure must be one the next bench invocation
+    reproduces, not the best window ever observed."""
     for w in range(n_warm):
         t0 = time.time()
         fn()
@@ -109,7 +120,7 @@ def _time_runs(fn, n_warm: int, n_run: int, label: str) -> float:
         fn()
         times.append(time.time() - t0)
         log(f"{label} run {i}: {times[-1] * 1e3:.0f} ms")
-    return min(times)
+    return _median(times)
 
 
 def _link_probe(n_bytes: int) -> tuple[float, float]:
@@ -124,13 +135,13 @@ def _link_probe(n_bytes: int) -> tuple[float, float]:
     for _ in range(3):
         t0 = time.time()
         dev = jax.device_put(buf)
-        _ = float(jnp.sum(dev))  # force materialization (fetch a scalar)
+        dev.block_until_ready()
         up_times.append(time.time() - t0)
         t0 = time.time()
         _ = np.asarray(dev)
         down_times.append(time.time() - t0)
     mb = n_bytes / 1e6
-    return mb / min(up_times), mb / min(down_times)
+    return mb / _median(up_times), mb / _median(down_times)
 
 
 def main():
@@ -211,25 +222,27 @@ def main():
         "host16": FLEET_N * work_len * 2,
         "host": FLEET_N * work_len * 4,
     }
-    fleet_by_mode, stages_by_mode, wall_by_mode = {}, {}, {}
+    fleet_by_mode, stages_by_mode, wall_by_mode, trials_by_mode = {}, {}, {}, {}
     total_rows = 0
-    # min-of-2: fleet walls vary +-2x run to run on this host (tunnel
-    # and 2-core CPU contention), so a single sample under-reports.
-    # Stage totals are taken from the SAME run as the reported wall so
-    # the per-stage attribution stays internally consistent.
+    # Median-of-3 (after a warmup): fleet walls vary run to run on this
+    # host (tunnel and 2-core CPU contention); the reported figure must
+    # be one the next invocation reproduces, not the best window ever
+    # caught.  Stage totals are taken from the median run so the
+    # per-stage attribution stays internally consistent.
     for mode in ("device", "host16", "host"):
         run_fleet(mode)  # warmup (compiles, page cache)
-        best_wall = None
-        for i in range(2):
+        walls, stages_runs = [], []
+        for i in range(3):
             t0 = time.time()
             run_fleet(mode)
-            w = time.time() - t0
-            log(f"fleet/{mode} run {i}: {w * 1e3:.0f} ms")
-            if best_wall is None or w < best_wall:
-                best_wall = w
-                stages_by_mode[mode] = report.stage_totals()
-        fleet_by_mode[mode] = report.decoded_seconds / best_wall
-        wall_by_mode[mode] = best_wall
+            walls.append(time.time() - t0)
+            stages_runs.append(report.stage_totals())
+            log(f"fleet/{mode} run {i}: {walls[-1] * 1e3:.0f} ms")
+        med = _median(walls)
+        stages_by_mode[mode] = stages_runs[walls.index(med)]
+        fleet_by_mode[mode] = report.decoded_seconds / med
+        wall_by_mode[mode] = med
+        trials_by_mode[mode] = [round(w, 2) for w in walls]
         total_rows = sum(r.n_rows for r in report.ok)
 
     best_mode = max(fleet_by_mode, key=fleet_by_mode.get)
@@ -336,17 +349,26 @@ def main():
                 "value": round(fleet_x, 1),
                 "unit": f"x_realtime_{FLEET_N}x10min_48k_fleet",
                 "vs_baseline": round(fleet_x / baseline, 1),
+                # The headline ("value") is the LINK-BOUND end-to-end
+                # serving figure: median-of-3 walls through the real
+                # host->tunnel->device pipeline.  "engine" below is the
+                # LINK-FREE device rate (inputs resident, lax.scan over
+                # 8 recordings, one scalar out) — the number that
+                # scales with chips on co-located hosts.
                 "fleet_best_ingest": best_mode,
                 "fleet_by_mode": {k: round(v, 1) for k, v in fleet_by_mode.items()},
+                "fleet_trials_s": trials_by_mode,
                 "single_pass_host_ingest_x": round(single_host, 1),
                 "single_pass_device_ingest_x": round(single_device, 1),
-                "compute_only_x": round(compute_x, 1),
-                "compute_pipelined_x": round(compute_pipe_x, 1),
-                "compute_scan_x": round(compute_scan_x, 1),
-                "compute_scan_ms_per_pass": round(compute_scan_ms, 1),
-                "device_ingest_stage1_ms": round(stage1_ms, 1),
-                "lines_per_sec_per_chip": round(lines_per_sec, 0),
-                "lines_per_sec_per_chip_pipelined": round(lines_per_sec_pipe, 0),
+                "engine": {
+                    "compute_scan_x": round(compute_scan_x, 1),
+                    "compute_scan_ms_per_pass": round(compute_scan_ms, 1),
+                    "compute_only_x": round(compute_x, 1),
+                    "compute_pipelined_x": round(compute_pipe_x, 1),
+                    "device_ingest_stage1_ms": round(stage1_ms, 1),
+                    "lines_per_sec_per_chip": round(lines_per_sec, 0),
+                    "lines_per_sec_per_chip_pipelined": round(lines_per_sec_pipe, 0),
+                },
                 "fleet_rows": total_rows,
                 "stages_s": stages,
                 "link": {

@@ -403,6 +403,7 @@ def _run(args) -> int:
                         "load_s": round(r.load_s, 3),
                         "ingest_s": round(r.ingest_s, 3),
                         "device_s": round(r.device_s, 3),
+                        "fetch_s": round(r.fetch_s, 3),
                         "encode_s": round(r.encode_s, 3),
                     }
                     for r in report.ok

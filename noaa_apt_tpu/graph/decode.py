@@ -478,6 +478,37 @@ class Decoder:
         """
         if quantize is None:
             quantize = self.ingest == "host16"
+        if quantize and isinstance(signal, np.ndarray) and signal.dtype == np.int16:
+            # Fused native ingest: i16 PCM -> streamed-conversion
+            # polyphase -> i16 quantize in ONE C++ call, writing
+            # straight into the padded upload bucket — no full f32
+            # copy of the recording, no numpy max/round passes.  The
+            # output is bit-identical to the numpy pipeline below
+            # (same conversion, same dot kernel, same round-half-even
+            # quantizer); tests/test_native.py asserts it.
+            plan = self._ingest_plan(input_rate, int(signal.shape[0]))
+            if plan is not None:
+                from ..native import ingest_i16_native
+
+                l, m, coeff, out_len = plan
+                if out_len == 0:
+                    raise err.InternalError(
+                        "Got less than 10 rows of samples, audio file is too short"
+                    )
+                if context is not None:
+                    context.status(
+                        0.1, f"Resampling to {self.work_rate.get_hz()} (host)"
+                    )
+                fused = ingest_i16_native(
+                    signal, l, m, coeff, out_len, pad_bucket(out_len)
+                )
+                if fused is not None:
+                    buf, inv_scale = fused
+                    data = jax.device_put(buf) if to_device else buf[:out_len]
+                    return WorkPayload(
+                        data=data, work_true=out_len, inv_scale=inv_scale
+                    )
+                # Native library unavailable: numpy pipeline below.
         # Quantized payloads tolerate the vectorized (reordered-sum)
         # native kernel: its ~1e-7 relative noise is far below the i16
         # quantization floor.
@@ -1147,20 +1178,20 @@ class Decoder:
 
         return DecodeResult(image=img, n_rows=n_rows, sync_positions=sync_pos)
 
-    def _host_ingest(self, signal: np.ndarray, input_rate: Rate, context=None, exact: bool = True):
-        """Native C++ polyphase resample to the work rate on host
-        (reference accumulation order, dsp.rs:186-289); returns the
-        work signal or None to fall back to the device path."""
+    def _ingest_plan(self, input_rate: Rate, n_true: int):
+        """Host-ingest resample plan ``(l, m, coeff, out_len)`` for a
+        recording of ``n_true`` samples, or None when the rate pair has
+        no interpolation (l == 1: the decimation path stays on device).
+        Shared by the numpy and fused-native ingest paths so every
+        consumer agrees on the filter design and output grid
+        (dsp.rs:186-289 semantics)."""
         import math as _math
 
-        from ..native import fast_resample_native
-
-        p = self.profile
         g = _math.gcd(input_rate.get_hz(), self.work_rate.get_hz())
         l = self.work_rate.get_hz() // g
         m = input_rate.get_hz() // g
         if l <= 1:
-            return None  # decimation path stays on device
+            return None
         interpolated = input_rate.checked_mul(l)
         if interpolated is None:
             raise err.RateOverflowError(
@@ -1170,10 +1201,21 @@ class Decoder:
             )
         filt = self._ingest_filter(input_rate)
         coeff = filt.resample(input_rate, interpolated).design()
-        n_true = int(signal.shape[0])
         interp = n_true * l
         offset = (len(coeff) - 1) // 2
         out_len = max(0, -(-(interp - offset) // m)) if interp > offset else 0
+        return l, m, coeff, out_len
+
+    def _host_ingest(self, signal: np.ndarray, input_rate: Rate, context=None, exact: bool = True):
+        """Native C++ polyphase resample to the work rate on host
+        (reference accumulation order, dsp.rs:186-289); returns the
+        work signal or None to fall back to the device path."""
+        from ..native import fast_resample_native
+
+        plan = self._ingest_plan(input_rate, int(signal.shape[0]))
+        if plan is None:
+            return None
+        l, m, coeff, out_len = plan
         if context is not None:
             context.status(0.1, f"Resampling to {self.work_rate.get_hz()} (host)")
         return fast_resample_native(

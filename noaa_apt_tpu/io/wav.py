@@ -308,14 +308,73 @@ class PcmStreamReader:
         return arr.astype(np.float32)
 
 
-def load_device_ready(path) -> tuple[np.ndarray, Rate]:
+def _mmap_pcm16_mono(path) -> tuple[np.ndarray, int] | None:
+    """Zero-copy load: an ``np.memmap`` over the data chunk of a mono
+    16-bit PCM WAV, reading only the chunk headers.  Returns
+    ``(int16 view, sample_rate)``, or None when the file needs the
+    general loader (other formats, multichannel, malformed headers).
+    Chunk semantics match :func:`load_wav`: last fmt/data chunk wins,
+    and a data size lying past EOF is clamped to what exists."""
+    path = Path(path)
+    try:
+        size_total = path.stat().st_size
+        with open(path, "rb") as f:
+            head = f.read(12)
+            if len(head) < 12 or head[0:4] != b"RIFF" or head[8:12] != b"WAVE":
+                return None
+            fmt_body = None
+            data_span = None
+            off = 12
+            while off + 8 <= size_total:
+                f.seek(off)
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                cid = hdr[0:4]
+                (sz,) = struct.unpack_from("<I", hdr, 4)
+                if cid == b"fmt ":
+                    fmt_body = f.read(min(sz, 64))
+                elif cid == b"data":
+                    data_span = (off + 8, min(sz, size_total - off - 8))
+                off += 8 + sz + (sz & 1)
+    except OSError:
+        return None
+    if fmt_body is None or data_span is None or len(fmt_body) < 16:
+        return None
+    (audio_fmt, channels, sample_rate, _br, _al, bits) = struct.unpack_from(
+        "<HHIIHH", fmt_body, 0
+    )
+    if audio_fmt == _FMT_EXTENSIBLE and len(fmt_body) >= 26:
+        (audio_fmt,) = struct.unpack_from("<H", fmt_body, 24)
+    if audio_fmt != _FMT_PCM or channels != 1 or bits != 16 or sample_rate <= 0:
+        return None
+    o, n_bytes = data_span
+    n = n_bytes // 2
+    if n == 0:
+        return None
+    try:
+        return np.memmap(path, dtype="<i2", mode="r", offset=o, shape=(n,)), sample_rate
+    except (OSError, ValueError):
+        return None
+
+
+def load_device_ready(path, use_mmap: bool = True) -> tuple[np.ndarray, Rate]:
     """Like :func:`load`, but 16-bit PCM stays int16 so the decoder can
     ship half the bytes to the accelerator and convert there (exactly
     equal to the reference's f32-of-raw-int values).
 
     The common 16-bit case keeps the raw buffer as-is — no i16 -> f32
     -> i16 round trip (~170 MB of memory traffic per 10-minute pass,
-    which mattered on small serving hosts)."""
+    which mattered on small serving hosts).  With ``use_mmap`` (the
+    default) a mono 16-bit PCM file is not even read: the returned
+    array is a read-only ``np.memmap`` over its data chunk, so the
+    bytes stream straight from the page cache into the native ingest
+    kernel / device upload with no intermediate copy."""
+    if use_mmap:
+        m = _mmap_pcm16_mono(path)
+        if m is not None:
+            arr, sr = m
+            return arr, Rate(sr)
     signal, spec = load_wav(path, raw_int16=True)
     if signal.dtype != np.int16 and spec.sample_format == "int" and spec.bits_per_sample == 16:
         signal = signal.astype(np.int16)  # exact: values are in i16 range

@@ -78,6 +78,13 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64,
             ]
+            lib.apt_ingest_i16.restype = ctypes.c_int64
+            lib.apt_ingest_i16.argtypes = [
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ]
             _lib = lib
         except OSError as e:
             log.info("Native kernel load failed (%s); using NumPy fallback", e)
@@ -113,6 +120,46 @@ def fast_resample_native(
         0 if exact else 1,
     )
     return out
+
+
+def ingest_i16_native(
+    x: np.ndarray, l: int, m: int, coeff: np.ndarray,
+    out_true: int, out_pad: int, threads: int | None = None,
+) -> tuple[np.ndarray, float] | None:
+    """Fused serving ingest: raw int16 PCM -> polyphase work signal ->
+    i16 quantization, one native call, streamed conversion (no full
+    f32 copy of the recording).  Returns ``(padded i16 work buffer,
+    inv_scale)``, bit-identical to the numpy host16 pipeline
+    (f32 convert -> vectorized resample -> np.round quantize), or None
+    if the native library is unavailable.
+
+    ``x`` may be a read-only np.memmap straight over the WAV data
+    chunk (see ``wav.load_device_ready``): the kernel only reads it.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    import os
+
+    if x.dtype != np.int16:
+        raise ValueError(f"ingest_i16 needs int16 input, got {x.dtype}")
+    if not x.flags.c_contiguous:
+        x = np.ascontiguousarray(x)
+    coeff = np.ascontiguousarray(coeff, dtype=np.float32)
+    out = np.empty(out_pad, dtype=np.int16)
+    inv_scale = ctypes.c_float(0.0)
+    nthreads = threads or min(8, os.cpu_count() or 1)
+    rc = lib.apt_ingest_i16(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), x.shape[0],
+        l, m,
+        coeff.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), coeff.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out_true, out_pad,
+        ctypes.byref(inv_scale), nthreads,
+    )
+    if rc < 0:
+        return None
+    return out, float(inv_scale.value)
 
 
 def find_sync_peaks_native(corr: np.ndarray, spr: int, md: int) -> list[int] | None:

@@ -134,6 +134,130 @@ int64_t apt_fast_resample(const float* x, int64_t n, int64_t l, int64_t m,
     return out_len;
 }
 
+// Fused serving ingest (the "host16" mode of serve.py / decode.py):
+// raw int16 PCM -> polyphase resample to the work rate -> peak-scan ->
+// i16 quantize, in one call.  Replaces a numpy pipeline that cost a
+// 115 MB i16->f32 materialization plus three more full passes
+// (max/scale/round) per 10-minute recording — on a 2-core serving
+// host those passes were the fleet pipeline's bottleneck stage.
+//
+// The conversion is streamed: each worker converts only the input
+// window its current output block needs into a small reusable scratch
+// (cache-resident), so no full-length f32 copy of the recording ever
+// exists.  Numerics match the numpy path exactly: i16->f32 is exact,
+// the dot is the same dot_fast the host16 mode already used, and the
+// quantizer is nearbyintf (round-half-even, numpy's np.round) on
+// f32 products.
+static void ingest_range(const int16_t* x, int64_t n, int64_t l, int64_t m,
+                         const PhaseBank* bank, float* work,
+                         int64_t k0, int64_t k1) {
+    const int64_t t_n_max = bank->tmax;
+    const int64_t kblock = 1 << 16;  // outputs per block (~256 KB f32 scratch)
+    std::vector<float> scratch;
+    for (int64_t kb = k0; kb < k1; kb += kblock) {
+        const int64_t ke = std::min(k1, kb + kblock);
+        // Input span this block touches: xi0(kb) .. xi0(ke-1)+t_n.
+        const int64_t xa = (kb * m) / l;
+        const int64_t xb = std::min(n, ((ke - 1) * m + l - 1) / l + 1 + t_n_max);
+        const int64_t span = xb > xa ? xb - xa : 0;
+        scratch.resize(span);
+        for (int64_t i = 0; i < span; ++i) scratch[i] = (float)x[xa + i];
+        const float* xs = scratch.data() - xa;  // index with absolute xi
+        for (int64_t ki = kb; ki < ke; ++ki) {
+            const int64_t km = ki * m;
+            const int64_t p = (l - (km % l)) % l;
+            const int64_t xi0 = (km + p) / l;
+            const int64_t t_n = bank->tcount[p];
+            const float* tp = bank->taps.data() + p * bank->tmax;
+            float sum;
+            if (xi0 + t_n <= n) {
+                sum = dot_fast(tp, xs + xi0, t_n);
+            } else {
+                const int64_t t_in = xi0 < n ? n - xi0 : 0;
+                sum = dot_exact(tp, xs + xi0, t_in);
+            }
+            work[ki] = sum;
+        }
+    }
+}
+
+static void max_abs_range(const float* w, int64_t k0, int64_t k1, float* out) {
+    float mx = 0.0f;
+    for (int64_t i = k0; i < k1; ++i) {
+        const float a = w[i] < 0 ? -w[i] : w[i];
+        if (a > mx) mx = a;
+    }
+    *out = mx;
+}
+
+static void quantize_range(const float* w, int16_t* out, float scale,
+                           int64_t k0, int64_t k1) {
+    for (int64_t i = k0; i < k1; ++i) {
+        out[i] = (int16_t)__builtin_nearbyintf(w[i] * scale);
+    }
+}
+
+// x: raw int16 PCM (n samples).  out: int16 buffer of out_pad samples;
+// [0, out_true) gets the quantized work signal, [out_true, out_pad)
+// is zeroed (the decoder's padded upload bucket).  *inv_scale gets the
+// f32 multiplier restoring real values.  Returns out_true, or -1 on
+// bad arguments.
+int64_t apt_ingest_i16(const int16_t* x, int64_t n, int64_t l, int64_t m,
+                       const float* coeff, int64_t k,
+                       int16_t* out, int64_t out_true, int64_t out_pad,
+                       float* inv_scale, int64_t threads) {
+    if (l < 1 || m < 1 || out_true < 0 || out_pad < out_true) return -1;
+    const PhaseBank bank = build_bank(coeff, k, l);
+    std::vector<float> work(out_true);
+    if (threads < 1) threads = 1;
+    const int64_t chunk = threads > 0 ? (out_true + threads - 1) / threads : 0;
+
+    {
+        std::vector<std::thread> pool;
+        for (int64_t t = 1; t < threads; ++t) {
+            const int64_t k0 = t * chunk, k1 = std::min(out_true, k0 + chunk);
+            if (k0 >= k1) break;
+            pool.emplace_back(ingest_range, x, n, l, m, &bank, work.data(), k0, k1);
+        }
+        ingest_range(x, n, l, m, &bank, work.data(), 0,
+                     std::min(out_true, chunk));
+        for (auto& th : pool) th.join();
+    }
+
+    std::vector<float> maxes(threads, 0.0f);
+    {
+        std::vector<std::thread> pool;
+        for (int64_t t = 1; t < threads; ++t) {
+            const int64_t k0 = t * chunk, k1 = std::min(out_true, k0 + chunk);
+            if (k0 >= k1) break;
+            pool.emplace_back(max_abs_range, work.data(), k0, k1, &maxes[t]);
+        }
+        max_abs_range(work.data(), 0, std::min(out_true, chunk), &maxes[0]);
+        for (auto& th : pool) th.join();
+    }
+    float peak = 0.0f;
+    for (float v : maxes) peak = std::max(peak, v);
+    if (peak == 0.0f) peak = 1.0f;
+    // Divide in double then round once to f32 — numpy's
+    // np.float32(32767.0 / peak); a single-rounding f32 division can
+    // land 1 ulp away and shift round-half-even quantization cells.
+    const float scale = (float)(32767.0 / (double)peak);
+    *inv_scale = 1.0f / scale;
+
+    {
+        std::vector<std::thread> pool;
+        for (int64_t t = 1; t < threads; ++t) {
+            const int64_t k0 = t * chunk, k1 = std::min(out_true, k0 + chunk);
+            if (k0 >= k1) break;
+            pool.emplace_back(quantize_range, work.data(), out, scale, k0, k1);
+        }
+        quantize_range(work.data(), out, scale, 0, std::min(out_true, chunk));
+        for (auto& th : pool) th.join();
+    }
+    for (int64_t i = out_true; i < out_pad; ++i) out[i] = 0;
+    return out_true;
+}
+
 // Telemetry best-frame scan (reference telemetry.rs:201-227): first
 // strict maximum of quality starting from 0.  Provided natively for
 // symmetry; the host array is tiny.

@@ -47,6 +47,7 @@ class PassResult:
     load_s: float = 0.0
     ingest_s: float = 0.0
     device_s: float = 0.0
+    fetch_s: float = 0.0  # blocked in .get() waiting for device result
     encode_s: float = 0.0
 
 
@@ -79,11 +80,12 @@ class FleetReport:
         """Summed per-stage seconds across passes (pipeline stages run
         concurrently, so totals can exceed wall time; the max stage is
         the pipeline's bottleneck)."""
-        out = {"load": 0.0, "ingest": 0.0, "device": 0.0, "encode": 0.0}
+        out = {"load": 0.0, "ingest": 0.0, "device": 0.0, "fetch": 0.0, "encode": 0.0}
         for r in self.results:
             out["load"] += r.load_s
             out["ingest"] += r.ingest_s
             out["device"] += r.device_s
+            out["fetch"] += r.fetch_s
             out["encode"] += r.encode_s
         return {k: round(v, 3) for k, v in out.items()}
 
@@ -141,10 +143,18 @@ def decode_fleet(
         raise err.InvalidInputError(f"gray_png must be 'auto' or 'never', got {gray_png!r}")
     ncores = os.cpu_count() or 2
     if loaders is None:
-        loaders = max(1, min(3, ncores - 1))
+        # Loaders spend roughly half their time blocked on the
+        # host->device upload (network, GIL released), so the right
+        # count EXCEEDS the core count: while one loader waits on the
+        # link, another runs the native ingest.  One loader on a
+        # 2-core serving host was measured as the whole fleet's
+        # bottleneck stage (~0.9 s/pass serialized); cores+1 loaders
+        # with 2 encoders measured best there (3.7 s vs 4.35 s for an
+        # 8x10-minute fleet).
+        loaders = max(2, min(4, ncores + 1))
     loaders = max(1, loaders)  # 0 loader threads would deadlock loaded.get()
     if encoders is None:
-        encoders = max(1, min(2, ncores - 1))
+        encoders = max(1, min(2, ncores))
     contrast = contrast or Contrast.from_percent(0.98)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -212,12 +222,11 @@ def decode_fleet(
                     # whole pipeline (input resample included) runs in
                     # the fused device graph.
                     import jax
-                    import jax.numpy as jnp
 
                     n_pad = pad_bucket(len(signal))
                     buf = np.zeros(n_pad, dtype=signal.dtype)
                     buf[: len(signal)] = signal
-                    work = ("raw", jax.device_put(jnp.asarray(buf)), len(signal))
+                    work = ("raw", jax.device_put(buf), len(signal))
                 else:
                     work = None
                 t2 = time.time()
@@ -239,6 +248,8 @@ def decode_fleet(
                     # fetch here so its round trip overlaps the device
                     # thread's next dispatch.
                     gray, _sync_pos = raw.get()
+                    res_item.fetch_s = time.time() - t0
+                    t0 = time.time()
                     res_item.n_rows = gray.shape[0]
                     if gray_ok and orb is None:
                         img = gray  # mode-L PNG: same pixels, 1/4 the bytes
@@ -261,7 +272,7 @@ def decode_fleet(
                     Image.fromarray(img).save(out, compress_level=png_compress_level)
                 res_item.output_path = out
                 res_item.encode_s = time.time() - t0
-                res_item.seconds += res_item.encode_s
+                res_item.seconds += res_item.fetch_s + res_item.encode_s
             except Exception as e:  # noqa: BLE001
                 res_item.error = str(e)
 

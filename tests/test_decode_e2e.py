@@ -414,3 +414,63 @@ def test_batched_fused_render_isolates_too_short_member():
 
     all_short = dec.decode_render_input_batch([tiny, tiny], [len(tiny)] * 2, Rate(11025))
     assert all(isinstance(g, AptError) for g in all_short)
+
+
+def test_fused_native_ingest_matches_numpy():
+    """The one-call C++ serving ingest (i16 PCM -> streamed polyphase
+    -> i16 quantize, prepare_work's fast path) must be bit-identical
+    to the numpy host16 pipeline it replaced."""
+    from noaa_apt_tpu.graph.decode import pad_bucket
+    from noaa_apt_tpu.native import ingest_i16_native
+
+    signal, _ = synth_recording(n_rows=18, sample_rate=48000, noise_db=15.0)
+    sig_i16 = np.clip(
+        np.round(signal / np.abs(signal).max() * 32767), -32768, 32767
+    ).astype(np.int16)
+    dec = Decoder(STANDARD, ingest="host16")
+
+    plan = dec._ingest_plan(Rate(48000), len(sig_i16))
+    assert plan is not None
+    l, m, coeff, out_len = plan
+    fused = ingest_i16_native(sig_i16, l, m, coeff, out_len, pad_bucket(out_len))
+    if fused is None:
+        pytest.skip("native library unavailable")
+    buf, inv_scale = fused
+
+    # The pre-fusion numpy pipeline, step by step.
+    work = dec._host_ingest(sig_i16, Rate(48000), exact=False)
+    peak = float(np.max(np.abs(work))) or 1.0
+    scale = np.float32(32767.0 / peak)
+    want = np.round(work * scale).astype(np.int16)
+    want_inv = float(np.float32(1.0) / scale)
+
+    assert buf.shape[0] == pad_bucket(out_len)
+    np.testing.assert_array_equal(buf[:out_len], want)
+    assert not buf[out_len:].any()
+    assert inv_scale == want_inv
+
+    # prepare_work routes int16 input through the fused kernel.
+    payload = dec.prepare_work(sig_i16, Rate(48000), to_device=False)
+    assert payload.inv_scale == want_inv
+    np.testing.assert_array_equal(np.asarray(payload.data), want)
+
+
+def test_fused_native_ingest_short_input():
+    """A few hundred samples must behave like the numpy path: tail
+    windows read only what exists, no out-of-bounds."""
+    from noaa_apt_tpu.graph.decode import pad_bucket
+    from noaa_apt_tpu.native import ingest_i16_native
+
+    rng = np.random.default_rng(3)
+    sig = (rng.standard_normal(4000) * 8000).astype(np.int16)
+    dec = Decoder(STANDARD, ingest="host16")
+    plan = dec._ingest_plan(Rate(48000), len(sig))
+    l, m, coeff, out_len = plan
+    assert out_len > 0
+    fused = ingest_i16_native(sig, l, m, coeff, out_len, pad_bucket(out_len))
+    if fused is None:
+        pytest.skip("native library unavailable")
+    buf, inv_scale = fused
+    work = dec._host_ingest(sig, Rate(48000), exact=False)
+    scale = np.float32(32767.0 / (float(np.max(np.abs(work))) or 1.0))
+    np.testing.assert_array_equal(buf[:out_len], np.round(work * scale).astype(np.int16))

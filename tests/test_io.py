@@ -249,3 +249,61 @@ def test_wav_loader_never_leaks_raw_exceptions(tmp_path):
         except apt_err.AptError:
             pass  # the documented failure mode
         # anything else propagates and fails the test with its traceback
+
+
+def test_load_device_ready_mmap_matches(tmp_path):
+    """The zero-copy mmap load (mono PCM16) returns the same samples
+    and rate as the general loader, as a read-only memmap view."""
+    from noaa_apt_tpu.io import wav as w
+    from noaa_apt_tpu.synth import synth_recording
+
+    sig, _ = synth_recording(n_rows=12, sample_rate=11025)
+    p = tmp_path / "m.wav"
+    w.write_wav(p, sig, w.WavSpec(1, 11025, 16, "int"))
+
+    a, ra = w.load_device_ready(p, use_mmap=True)
+    b, rb = w.load_device_ready(p, use_mmap=False)
+    assert isinstance(a, np.memmap) and a.dtype == np.int16
+    assert ra.get_hz() == rb.get_hz() == 11025
+    np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_load_device_ready_mmap_truncated(tmp_path):
+    """A data chunk size lying past EOF is clamped, like load_wav's
+    hound tolerance (noaa_apt.rs:114-130)."""
+    from noaa_apt_tpu.io import wav as w
+    from noaa_apt_tpu.synth import synth_recording
+
+    sig, _ = synth_recording(n_rows=12, sample_rate=11025)
+    p = tmp_path / "t.wav"
+    w.write_wav(p, sig, w.WavSpec(1, 11025, 16, "int"))
+    data = bytearray(p.read_bytes())
+    p.write_bytes(bytes(data[: len(data) - 1001]))  # chop the tail
+
+    a, _ = w.load_device_ready(p, use_mmap=True)
+    b, _ = w.load_device_ready(p, use_mmap=False)
+    assert isinstance(a, np.memmap)
+    np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_load_device_ready_mmap_fallback_stereo(tmp_path):
+    """Multichannel files skip the mmap fast path but still load."""
+    import struct
+
+    from noaa_apt_tpu.io import wav as w
+
+    rng = np.random.default_rng(0)
+    frames = (rng.standard_normal((500, 2)) * 1000).astype("<i2")
+    payload = frames.tobytes()
+    hdr = b"".join([
+        b"RIFF", struct.pack("<I", 36 + len(payload)), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16),
+        b"data", struct.pack("<I", len(payload)),
+    ])
+    p = tmp_path / "st.wav"
+    p.write_bytes(hdr + payload)
+
+    a, ra = w.load_device_ready(p, use_mmap=True)
+    assert not isinstance(a, np.memmap)
+    assert ra.get_hz() == 8000
+    np.testing.assert_array_equal(a, frames[:, 0])

@@ -262,7 +262,7 @@ def test_cli_fleet_report_json(tmp_path, monkeypatch):
     assert rep["ok"] == 1 and rep["failed"] == []
     assert rep["rows"] >= 14 and rep["wall_seconds"] > 0
     assert rep["passes"][0]["output"].endswith("p0.png")
-    assert set(rep["stage_seconds"]) == {"load", "ingest", "device", "encode"}
+    assert set(rep["stage_seconds"]) == {"load", "ingest", "device", "fetch", "encode"}
 
 
 def test_decode_fleet_duplicate_stems(tmp_path):
