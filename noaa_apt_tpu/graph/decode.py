@@ -726,9 +726,15 @@ class Decoder:
         cumsum+argmax) -> u8 map.  Shared by the work-domain and
         input-domain fused render graphs.
 
-        ``batch``: the closure will be vmapped — keep the XLA
-        while_loop selector (the Pallas kernel's sequential grid +
-        carried scratch does not vmap)."""
+        ``batch``: the returned closure takes BATCHED ``(f [B, ..],
+        corr [B, ..], work_true [B])`` — the greedy selector runs as
+        ONE batched Pallas launch (grid over (element, chunk), state
+        re-seeded per element: ops/pallas_select.py
+        ``select_peaks_batch``) and the rest of the tail vmaps.
+        ``jax.vmap`` of the unbatched Pallas kernel is unsupported, and
+        the vmapped XLA while_loop it previously fell back to made the
+        batched graph 1.5x slower per pass than pipelined unbatched
+        dispatches."""
         carrier, demod_coeff, template = self._chain_params()
         guard = len(template)
         spr = self.samples_per_work_row
@@ -739,26 +745,9 @@ class Decoder:
         remainder = np.float32((np.float32(1.0) - np.float32(pct)) / np.float32(2.0))
         hi_thresh = np.float32(np.float32(1.0) - remainder)
 
-        use_psel = self._pallas_enabled() and not batch
+        use_psel = self._pallas_enabled()
 
-        def tail(f, corr, work_true):
-            n_valid = jnp.maximum(work_true - guard, 0)
-            if use_psel:
-                # Pallas selector: corr streams through VMEM, each
-                # greedy jump's window argmax is pure VPU work — ~4 ms
-                # vs ~17 ms for the XLA while_loop whose every window
-                # slice walks to HBM (ops/pallas_select.py).
-                from ..ops.pallas_select import select_peaks
-
-                peaks, k = select_peaks(corr, n_valid, spr, md, max_peaks)
-            else:
-                # Jump-form greedy selector. A fully-vectorized
-                # alternative (settle table: sliding-window argmax +
-                # pointer doubling) was measured 2x SLOWER here — the
-                # md-window argmax inside the while_loop is cheaper
-                # than the table's full-length gathers.
-                peaks, k = sy._find_sync_peaks_device(corr, n_valid, spr, md, max_peaks)
-
+        def post(f, work_true, peaks, k):
             # rows_pos = [p for p in sync_pos[:-1] if p + spr < work_true],
             # compacted to the front (decode.rs:122-134 gather semantics).
             idx = jnp.arange(max_peaks, dtype=jnp.int32)
@@ -818,6 +807,42 @@ class Decoder:
             u8 = Decoder._map_u8_ops(img, low, high)
             return u8, n_rows, peaks, k
 
+        if batch:
+            def tail_batch(f, corr, work_true):
+                n_valid = jnp.maximum(work_true - guard, 0)
+                if use_psel:
+                    from ..ops.pallas_select import select_peaks_batch
+
+                    peaks, k = select_peaks_batch(corr, n_valid, spr, md, max_peaks)
+                else:
+                    peaks, k = jax.vmap(
+                        lambda c, nv: sy._find_sync_peaks_device(
+                            c, nv, spr, md, max_peaks
+                        )
+                    )(corr, n_valid)
+                return jax.vmap(post)(f, work_true, peaks, k)
+
+            return tail_batch
+
+        def tail(f, corr, work_true):
+            n_valid = jnp.maximum(work_true - guard, 0)
+            if use_psel:
+                # Pallas selector: corr streams through VMEM, each
+                # greedy jump's window argmax is pure VPU work — ~4 ms
+                # vs ~17 ms for the XLA while_loop whose every window
+                # slice walks to HBM (ops/pallas_select.py).
+                from ..ops.pallas_select import select_peaks
+
+                peaks, k = select_peaks(corr, n_valid, spr, md, max_peaks)
+            else:
+                # Jump-form greedy selector. A fully-vectorized
+                # alternative (settle table: sliding-window argmax +
+                # pointer doubling) was measured 2x SLOWER here — the
+                # md-window argmax inside the while_loop is cheaper
+                # than the table's full-length gathers.
+                peaks, k = sy._find_sync_peaks_device(corr, n_valid, spr, md, max_peaks)
+            return post(f, work_true, peaks, k)
+
         return tail
 
     def _get_fused_render(
@@ -830,21 +855,22 @@ class Decoder:
         peak list): on a high-latency host<->device link the previous
         peaks/histogram/image round-trips dominated fleet wall time.
 
-        ``batch``: vmap the whole graph over a leading batch axis (all
-        passes share the work-length bucket).  Per-element results are
-        bit-identical to the unbatched graph on CPU; on TPU the
-        batched MXU tiling accumulates f32 sums in a different order
-        (~1e-4 of image floats land 1 ulp apart), so integer decisions
-        (sync peaks, row selection, buckets) stay identical but a u8
-        pixel sitting exactly on the floor(v+0.5) knife edge can
-        differ by 1 LSB (~1 pixel per 10^6 — measured by
-        tools/tpu_conformance.py).  One dispatch + one fetch serve B
-        passes — useful when the host->device control link is
-        high-latency.  On-chip it is NOT faster than pipelining B
-        unbatched dispatches (measured 60 vs 40 ms/pass on v5e: the
-        vmapped while_loop turns dynamic slices into gathers and runs
-        both cond branches), so the serving pipeline keeps per-pass
-        dispatches.
+        ``batch``: batch the graph over a leading axis (all passes
+        share the work-length bucket): the chain vmaps, and the greedy
+        selector runs as ONE batched Pallas launch (see _fused_tail).
+        Per-element results are bit-identical to the unbatched graph
+        on CPU; on TPU the batched MXU tiling accumulates f32 sums in
+        a different order (~1e-4 of image floats land 1 ulp apart), so
+        integer decisions (sync peaks, row selection, buckets) stay
+        identical but a u8 pixel sitting exactly on the floor(v+0.5)
+        knife edge can differ by 1 LSB (~1 pixel per 10^6 — measured
+        by tools/tpu_conformance.py).  One dispatch + one fetch serve
+        B passes, and with the batched selector it is also the fastest
+        on-chip shape: 23 ms/pass at B=8 vs ~97 ms/pass for 8
+        pipelined unbatched dispatches on v5e (each dispatch pays the
+        tunnel RPC; before the batched Pallas selector this path ran
+        the vmapped XLA while_loop and was 1.5x SLOWER than
+        pipelining).
         """
         key = ("fused", w_pad, quantized, kind, np.float32(pct).tobytes(), batch)
         if key in self._stage1:
@@ -855,18 +881,31 @@ class Decoder:
         tail = self._fused_tail(w_pad, kind, pct, batch=batch is not None)
         fused = self._make_chain_fused(w_pad)
 
-        def raw_step(y, inv_scale, work_true):
+        def pre(y, inv_scale):
             if quantized:
                 y = y.astype(jnp.float32) * inv_scale
             if fused is not None:
-                f, corr = fused(y)
-            else:
-                d_sig = dm.demodulate(y, carrier)
-                f = rs.causal_filter(d_sig, demod_coeff)
-                corr = sy.sync_correlate(f, template)
-            return tail(f, corr, work_true)
+                return fused(y)
+            d_sig = dm.demodulate(y, carrier)
+            f = rs.causal_filter(d_sig, demod_coeff)
+            corr = sy.sync_correlate(f, template)
+            return f, corr
 
-        step = jax.jit(jax.vmap(raw_step) if batch else raw_step)
+        if batch:
+            # Per-element chain vmaps; the tail is natively batched so
+            # the greedy selector stays a (batched) Pallas launch
+            # instead of a vmapped while_loop (see _fused_tail).
+            def raw_step_batch(ys, inv_scales, work_trues):
+                f, corr = jax.vmap(pre)(ys, inv_scales)
+                return tail(f, corr, work_trues)
+
+            step = jax.jit(raw_step_batch)
+        else:
+            def raw_step(y, inv_scale, work_true):
+                f, corr = pre(y, inv_scale)
+                return tail(f, corr, work_true)
+
+            step = jax.jit(raw_step)
         self._stage1[key] = step
         return step
 
@@ -901,17 +940,27 @@ class Decoder:
         tail = self._fused_tail(w_pad, kind, pct, batch=batch is not None)
         fused = self._make_chain_fused(w_pad)
 
-        def raw_step(x, work_true):
+        def pre(x):
             y = res_fn(x.astype(jnp.float32))
             if fused is not None:
-                f, corr = fused(y)
-            else:
-                d_sig = dm.demodulate(y, carrier)
-                f = rs.causal_filter(d_sig, demod_coeff)
-                corr = sy.sync_correlate(f, template)
-            return tail(f, corr, work_true)
+                return fused(y)
+            d_sig = dm.demodulate(y, carrier)
+            f = rs.causal_filter(d_sig, demod_coeff)
+            corr = sy.sync_correlate(f, template)
+            return f, corr
 
-        step = jax.jit(jax.vmap(raw_step) if batch else raw_step)
+        if batch:
+            def raw_step_batch(xs, work_trues):
+                f, corr = jax.vmap(pre)(xs)
+                return tail(f, corr, work_trues)
+
+            step = jax.jit(raw_step_batch)
+        else:
+            def raw_step(x, work_true):
+                f, corr = pre(x)
+                return tail(f, corr, work_true)
+
+            step = jax.jit(raw_step)
         entry = (step, work_len_fn)
         self._stage1[key] = entry
         return entry
@@ -999,6 +1048,90 @@ class Decoder:
             )
         cls = PendingRenderTelemetry if contrast_kind == "telemetry" else PendingRender
         pending = cls(step(x_dev, np.int32(work_true)))
+        return pending.get() if fetch else pending
+
+    def decode_render_batch(
+        self,
+        payloads: "list[WorkPayload]",
+        contrast_kind: str = "percent",
+        pct: float = 0.98,
+        fetch: bool = True,
+        pad_to: int | None = None,
+    ) -> "list | PendingRenderBatch":
+        """Batched WORK-domain serving path: B same-bucket payloads
+        (see :meth:`prepare_work`) decoded by ONE dispatch + ONE fetch,
+        with the greedy sync selector as a single batched Pallas launch
+        — the fleet pipeline's grouped-dispatch mode (23 ms/pass at
+        B=8 on v5e vs ~0.2 s of per-dispatch RPC on a tunnel link).
+
+        All payloads must share ``pad_bucket(work_true)`` and
+        quantization (the fleet groups by that key).  Per-element
+        guards (too short, too few sync frames) yield error entries in
+        the result list, not a batch failure — same contract as
+        :meth:`decode_render_input_batch`.
+
+        ``pad_to``: pad the batch to this size by repeating the last
+        payload (padding results are dropped before return).  Every
+        distinct batch size is its own jit variant; a fleet whose
+        group sizes vary (failures, tail groups) would otherwise
+        compile one graph per size it ever sees — the fleet pins
+        ``pad_to = fleet_batch`` so exactly ONE batched variant exists
+        per (bucket, contrast) and the padding's ~23 ms/element device
+        cost is noise.
+        """
+        if len(payloads) == 0:
+            return [] if fetch else PendingRenderBatch(
+                (np.zeros((0, 0, 0), np.uint8), np.zeros(0, np.int32),
+                 np.zeros((0, 0), np.int32), np.zeros(0, np.int32))
+            )
+        bcls = (
+            PendingRenderTelemetryBatch
+            if contrast_kind == "telemetry"
+            else PendingRenderBatch
+        )
+        spr = self.samples_per_work_row
+        errors = {
+            b: err.InternalError(
+                "Got less than 10 rows of samples, audio file is too short"
+            )
+            for b, p in enumerate(payloads)
+            if p.work_true < 10 * spr
+        }
+        keep = [b for b in range(len(payloads)) if b not in errors]
+        if not keep:
+            results = [errors[b] for b in range(len(payloads))]
+            return results if fetch else bcls(
+                tuple(np.zeros((0,) * 3, np.float32) for _ in range(4)),
+                errors=errors,
+            )
+        w_pads = {pad_bucket(payloads[b].work_true) for b in keep}
+        if len(w_pads) != 1:
+            raise err.InternalError(
+                f"decode_render_batch needs one length bucket, got {sorted(w_pads)}"
+            )
+        quant = {payloads[b].inv_scale is not None for b in keep}
+        if len(quant) != 1:
+            raise err.InternalError(
+                "decode_render_batch needs uniform quantization across the batch"
+            )
+        w_pad = w_pads.pop()
+        quantized = quant.pop()
+        n_live = len(keep)
+        src = list(keep)
+        if pad_to is not None and pad_to > n_live:
+            src += [keep[-1]] * (pad_to - n_live)
+        step = self._get_fused_render(
+            w_pad, quantized, contrast_kind, pct, batch=len(src)
+        )
+        ys = jnp.stack([jnp.asarray(payloads[b].data) for b in src])
+        inv_scales = np.asarray(
+            [payloads[b].inv_scale if quantized else 1.0 for b in src], np.float32
+        )
+        work_trues = np.asarray([payloads[b].work_true for b in src], np.int32)
+        out = step(ys, jnp.asarray(inv_scales), jnp.asarray(work_trues))
+        if len(src) > n_live:
+            out = tuple(a[:n_live] for a in out)
+        pending = bcls(out, errors=errors or None)
         return pending.get() if fetch else pending
 
     def decode_render_input_batch(

@@ -71,13 +71,23 @@ def _pick_block(L: int, md: int) -> int:
 
 
 def make_select_peaks(n_blocks: int, spr: int, md: int, max_peaks: int,
-                      block: int, interpret: bool = False):
+                      block: int, interpret: bool = False,
+                      batch: int | None = None):
     """Build ``fn(corr2 [rows, 128], n_valid) -> (peaks[i32 pr*128], k)``
     for a ``n_blocks``-chunk grid.  ``corr2`` must cover
     ``(n_blocks + 1) * block`` samples (every chunk's lookahead block
     must exist — see :func:`select_peaks`); pad contents are arbitrary,
-    the in-kernel ``n_valid`` masks exclude them."""
-    key = (n_blocks, spr, md, max_peaks, block, interpret)
+    the in-kernel ``n_valid`` masks exclude them.
+
+    ``batch``: grid becomes ``(batch, n_blocks)`` — one independent
+    greedy scan per batch element, the inner chunk walk re-seeding its
+    SMEM state at chunk 0 of each element.  ``fn`` then takes
+    ``(corr3 [B, rows, 128], n_valid [B])`` and returns
+    ``(peaks [B, pr*128], k [B])``.  This is what lets the BATCHED
+    fused decode graph keep the Pallas selector: ``jax.vmap`` of the
+    unbatched kernel is unsupported (its auto-prepended grid axis
+    would shift the program_id the state reset keys on)."""
+    key = (n_blocks, spr, md, max_peaks, block, interpret, batch)
     if key in _kernels:
         return _kernels[key]
     br = block // LANES
@@ -86,8 +96,11 @@ def make_select_peaks(n_blocks: int, spr: int, md: int, max_peaks: int,
     pr = -(-max_peaks // LANES)
 
     def kernel(n_ref, body_ref, head_ref, peaks_out, k_out, ext_s, sti, stf):
-        i = pl.program_id(0)
-        n = n_ref[0]
+        if batch is None:
+            b, i = 0, pl.program_id(0)
+        else:
+            b, i = pl.program_id(0), pl.program_id(1)
+        n = n_ref[b]
         chunk_start = i * block
         chunk_end = chunk_start + block
 
@@ -187,34 +200,69 @@ def make_select_peaks(n_blocks: int, spr: int, md: int, max_peaks: int,
         sti[2] = done.astype(jnp.int32)
         sti[3] = pending
         stf[0] = v
-        k_out[0] = k
+        k_out[b] = k
 
-    def fn(corr2: jnp.ndarray, n_valid):
-        nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
-        peaks, k = pl.pallas_call(
-            kernel,
-            grid=(n_blocks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((br, LANES), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((pr, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((pr, LANES), jnp.int32),
-                jax.ShapeDtypeStruct((1,), jnp.int32),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((2 * br, LANES), jnp.float32),
-                pltpu.SMEM((4,), jnp.int32),
-                pltpu.SMEM((1,), jnp.float32),
-            ],
-            interpret=interpret,
-        )(nv, corr2, corr2)
-        return peaks.reshape(-1), k[0]
+    scratch = [
+        pltpu.VMEM((2 * br, LANES), jnp.float32),
+        pltpu.SMEM((4,), jnp.int32),
+        pltpu.SMEM((1,), jnp.float32),
+    ]
+
+    if batch is None:
+        def fn(corr2: jnp.ndarray, n_valid):
+            nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+            peaks, k = pl.pallas_call(
+                kernel,
+                grid=(n_blocks,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((br, LANES), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((pr, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((pr, LANES), jnp.int32),
+                    jax.ShapeDtypeStruct((1,), jnp.int32),
+                ),
+                scratch_shapes=scratch,
+                interpret=interpret,
+            )(nv, corr2, corr2)
+            return peaks.reshape(-1), k[0]
+    else:
+        def fn(corr3: jnp.ndarray, n_valid):
+            nv = jnp.asarray(n_valid, jnp.int32).reshape(batch)
+            peaks, k = pl.pallas_call(
+                kernel,
+                grid=(batch, n_blocks),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(
+                        (None, br, LANES), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (None, br, LANES), lambda b, i: (b, i + 1, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=(
+                    pl.BlockSpec(
+                        (None, pr, LANES), lambda b, i: (b, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((batch, pr, LANES), jnp.int32),
+                    jax.ShapeDtypeStruct((batch,), jnp.int32),
+                ),
+                scratch_shapes=scratch,
+                interpret=interpret,
+            )(nv, corr3, corr3)
+            return peaks.reshape(batch, -1), k
 
     _kernels[key] = fn
     return fn
@@ -244,6 +292,29 @@ def select_peaks(corr, n_valid, spr: int, md: int, max_peaks: int,
     fn = make_select_peaks(n_blocks, spr, md, max_peaks, block, interpret)
     peaks, k = fn(corr2, n_valid)
     return peaks[:max_peaks], k
+
+
+def select_peaks_batch(corr, n_valid, spr: int, md: int, max_peaks: int,
+                       interpret: bool = False, block: int | None = None):
+    """Batched greedy selection: ``corr [B, L]`` + ``n_valid [B]`` ->
+    ``(peaks [B, max_peaks], k [B])``, each row selected exactly like
+    :func:`select_peaks` on that row (asserted in tests/test_pallas.py).
+    One kernel launch scans the whole batch — the sequential grid walks
+    (b, chunk) in order, re-seeding the greedy state per element — so
+    the BATCHED fused decode graph (decode_render_input_batch, the
+    BASELINE config-5 shape) gets the same VMEM-resident selector as
+    per-pass dispatches instead of falling back to the vmapped XLA
+    while_loop (gathers + both cond branches, measured 1.5x slower
+    per pass)."""
+    B, L = int(corr.shape[0]), int(corr.shape[1])
+    if block is None:
+        block = _pick_block(L, md)
+    n_blocks = max(1, -(-L // block))
+    pad = (n_blocks + 1) * block - L
+    corr3 = jnp.pad(corr, ((0, 0), (0, pad))).reshape(B, -1, LANES)
+    fn = make_select_peaks(n_blocks, spr, md, max_peaks, block, interpret, batch=B)
+    peaks, k = fn(corr3, n_valid)
+    return peaks[:, :max_peaks], k
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))

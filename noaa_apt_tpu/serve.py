@@ -105,6 +105,7 @@ def decode_fleet(
     encoders: int | None = None,
     png_compress_level: int = 1,
     gray_png: str = "auto",
+    fleet_batch: int = 8,
 ) -> FleetReport:
     """Decode many WAVs to PNGs with a load/compute/encode pipeline.
 
@@ -134,6 +135,11 @@ def decode_fleet(
     ``orbit_for``: optional callable ``Path -> OrbitSettings | None``
     evaluated per recording (each pass has its own reference time and
     satellite); overrides the static ``orbit``.
+
+    ``fleet_batch``: group up to this many consecutive same-bucket
+    work payloads into one batched device dispatch + one grouped fetch
+    (``Decoder.decode_render_batch``, batched Pallas sync selector).
+    1 disables grouping (per-pass dispatches).
     """
     import os
 
@@ -234,45 +240,82 @@ def decode_fleet(
             except Exception as e:  # noqa: BLE001 - per-pass isolation
                 loaded.put((i, p, None, None, None, str(e), 0.0, 0.0))
 
+    def encode_gray(res_item, p, out_name, gray):
+        """Post-fetch encode of one pass's u8 rows (shared by the
+        per-pass and grouped-dispatch paths)."""
+        t0 = time.time()
+        orb = orbit_for(p) if orbit_for is not None else orbit
+        res_item.n_rows = gray.shape[0]
+        if gray_ok and orb is None:
+            img = gray  # mode-L PNG: same pixels, 1/4 the bytes
+        else:
+            img = finish_image(gray, contrast.kind, rotate, color, orb)
+        out = out_dir / (out_name + ".png")
+        if img.ndim == 2:
+            # Mode-L: the raw-scanline writer skips PIL's
+            # per-row filter heuristics — ~2x less encode CPU
+            # for ~20% larger files, the right trade on a
+            # serving host where encode is a top-2 stage.
+            write_gray_png(out, img, level=png_compress_level)
+        else:
+            Image.fromarray(img).save(out, compress_level=png_compress_level)
+        res_item.output_path = out
+        res_item.encode_s = time.time() - t0
+        res_item.seconds += res_item.fetch_s + res_item.encode_s
+
     def encoder():
         while True:
             item = to_encode.get()
             if item is None:
                 return
+            if item[0] == "group":
+                # Grouped dispatch: ONE fetch serves the whole batch;
+                # per-element guard failures are error entries.
+                _, metas, pending_batch = item
+                t0 = time.time()
+                try:
+                    results = pending_batch.get()
+                except Exception as e:  # noqa: BLE001 — whole-group failure
+                    for res_item, _p, _n in metas:
+                        res_item.error = str(e)
+                    continue
+                fetch_each = (time.time() - t0) / max(1, len(metas))
+                for (res_item, p, out_name), r in zip(metas, results):
+                    res_item.fetch_s = fetch_each
+                    try:
+                        if isinstance(r, Exception):
+                            res_item.error = str(r)
+                            continue
+                        gray, _sync_pos = r
+                        encode_gray(res_item, p, out_name, gray)
+                    except Exception as e:  # noqa: BLE001
+                        res_item.error = str(e)
+                continue
             res_item, p, out_name, raw = item
             t0 = time.time()
             try:
-                orb = orbit_for(p) if orbit_for is not None else orbit
                 if isinstance(raw, (PendingRender, PendingRenderTelemetry)):
                     # Fused path: the device thread only dispatched;
                     # fetch here so its round trip overlaps the device
                     # thread's next dispatch.
                     gray, _sync_pos = raw.get()
                     res_item.fetch_s = time.time() - t0
-                    t0 = time.time()
-                    res_item.n_rows = gray.shape[0]
-                    if gray_ok and orb is None:
-                        img = gray  # mode-L PNG: same pixels, 1/4 the bytes
-                    else:
-                        img = finish_image(gray, contrast.kind, rotate, color, orb)
+                    encode_gray(res_item, p, out_name, gray)
                 else:
+                    orb = orbit_for(p) if orbit_for is not None else orbit
                     img = process(raw, contrast, rotate, color, orb, decoder=dec)
                     if gray_ok and orb is None and img.ndim == 3:
                         # Same mode-L rule on the unfused path (e.g.
                         # sync=False): channels are replicated gray.
                         img = np.ascontiguousarray(img[..., 0])
-                out = out_dir / (out_name + ".png")
-                if img.ndim == 2:
-                    # Mode-L: the raw-scanline writer skips PIL's
-                    # per-row filter heuristics — ~2x less encode CPU
-                    # for ~20% larger files, the right trade on a
-                    # serving host where encode is a top-2 stage.
-                    write_gray_png(out, img, level=png_compress_level)
-                else:
-                    Image.fromarray(img).save(out, compress_level=png_compress_level)
-                res_item.output_path = out
-                res_item.encode_s = time.time() - t0
-                res_item.seconds += res_item.fetch_s + res_item.encode_s
+                    out = out_dir / (out_name + ".png")
+                    if img.ndim == 2:
+                        write_gray_png(out, img, level=png_compress_level)
+                    else:
+                        Image.fromarray(img).save(out, compress_level=png_compress_level)
+                    res_item.output_path = out
+                    res_item.encode_s = time.time() - t0
+                    res_item.seconds += res_item.encode_s
             except Exception as e:  # noqa: BLE001
                 res_item.error = str(e)
 
@@ -284,6 +327,41 @@ def decode_fleet(
         t.start()
 
     results_by_idx: dict[int, PassResult] = {}
+    # Grouped dispatch: consecutive same-(bucket, quantization) work
+    # payloads batch into ONE device dispatch (batched Pallas sync
+    # selector, 23 ms/pass at B=8) and ONE grouped fetch — per-pass
+    # dispatches each paid ~0.2 s of tunnel RPC on the dev link.
+    group: list = []  # [(res_item, path, out_name, WorkPayload)]
+    group_key = None
+
+    def flush_group():
+        nonlocal group, group_key
+        if not group:
+            return
+        t0 = time.time()
+        try:
+            if len(group) == 1:
+                res_item, p_, name_, payload = group[0]
+                deferred = dec.decode_render(payload, *fused_levels, fetch=False)
+                res_item.device_s = time.time() - t0
+                res_item.seconds = res_item.device_s
+                to_encode.put((res_item, p_, name_, deferred))
+            else:
+                pend_b = dec.decode_render_batch(
+                    [g[3] for g in group], *fused_levels, fetch=False,
+                    pad_to=fleet_batch,
+                )
+                each = (time.time() - t0) / len(group)
+                for g in group:
+                    g[0].device_s = each
+                    g[0].seconds = each
+                to_encode.put(("group", [(g[0], g[1], g[2]) for g in group], pend_b))
+        except Exception as e:  # noqa: BLE001 - group-level isolation
+            for g in group:
+                g[0].error = str(e)
+            log.warning("grouped decode dispatch failed: %s", e)
+        group, group_key = [], None
+
     try:
         pending = len(paths)
         while pending:
@@ -296,6 +374,21 @@ def decode_fleet(
             if load_err is not None:
                 res_item.error = load_err
                 continue
+            if (
+                fused_levels is not None
+                and work is not None
+                and not isinstance(work, tuple)
+                and fleet_batch > 1
+            ):
+                key = (pad_bucket(work.work_true), work.inv_scale is not None)
+                if group and key != group_key:
+                    flush_group()
+                group.append((res_item, p, out_names[i], work))
+                group_key = key
+                if len(group) >= fleet_batch or pending == 0:
+                    flush_group()
+                continue
+            flush_group()
             t0 = time.time()
             try:
                 if work is not None and fused_levels is not None:
@@ -320,7 +413,9 @@ def decode_fleet(
             except Exception as e:  # noqa: BLE001 - per-pass isolation
                 res_item.error = str(e)
                 log.warning("decode failed for %s: %s", p, e)
+        flush_group()
     finally:
+        flush_group()
         for _ in enc_threads:
             to_encode.put(None)
         for t in enc_threads:

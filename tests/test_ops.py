@@ -408,3 +408,39 @@ def test_export_resample_filtered_changes_decimation_grid():
     # ...and it is genuinely a different grid than the flag-off output.
     assert (len(coeff) - 1) // 2 % m != m - 1
     assert not np.allclose(outputs[True][:200], outputs[False][:200], atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_pallas_selector_batched(seed):
+    """The batched selector (one launch, grid over (element, chunk),
+    per-element state re-seed) must match the unbatched kernel and the
+    host scan row for row — including rows of different n_valid and a
+    dropout row exercising cross-chunk forced appends."""
+    from noaa_apt_tpu.ops.pallas_select import select_peaks, select_peaks_batch
+
+    wr = Rate(4160)
+    spr = 2080
+    md = spr * 8 // 10
+    block = 4096
+    rng = np.random.default_rng(100 + seed)
+    B = 4
+    n = block * 5
+    corr = rng.standard_normal((B, n)).astype(np.float32)
+    corr[1, block : block * 3] = -100.0  # dropout: forced appends
+    corr[2, 0] = 50.0  # i=0 replacement case
+    n_valids = np.array([n, n - 777, n - spr, spr + 99], np.int32)
+    max_peaks = max(16, n // spr + 16)
+
+    pb, kb = select_peaks_batch(
+        jnp.asarray(corr), jnp.asarray(n_valids), spr, md, max_peaks,
+        interpret=True, block=block,
+    )
+    for b in range(B):
+        want = find_sync_peaks(corr[b, : int(n_valids[b])], wr)
+        got = np.asarray(pb[b, : int(kb[b])]).tolist()
+        assert got == want, f"row {b}"
+        pu, ku = select_peaks(
+            jnp.asarray(corr[b]), int(n_valids[b]), spr, md, max_peaks,
+            interpret=True, block=block,
+        )
+        assert np.asarray(pu[: int(ku)]).tolist() == got, f"row {b} unbatched"

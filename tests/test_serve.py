@@ -288,3 +288,75 @@ def test_decode_fleet_zero_loaders_does_not_deadlock(tmp_path):
     wav.write_wav(p, sig, wav.WavSpec(1, 11025, 16, "int"))
     report = decode_fleet([p], tmp_path / "out", ingest="device", loaders=0)
     assert len(report.ok) == 1
+
+
+def test_decode_fleet_grouped_dispatch_matches_per_pass(tmp_path):
+    """Grouped dispatch (fleet_batch > 1: one batched device graph +
+    one grouped fetch) must produce byte-identical PNGs to per-pass
+    dispatches, across mixed length buckets, a too-short member, and
+    telemetry contrast."""
+    from noaa_apt_tpu.types import Contrast
+
+    paths = []
+    for seed, rows in [(0, 16), (1, 16), (2, 16), (3, 24), (4, 24), (5, 4)]:
+        sig, _ = synth_recording(
+            n_rows=rows, sample_rate=11025, noise_db=18.0, seed=seed
+        )
+        p = tmp_path / f"g{seed}.wav"
+        wav.write_wav(p, sig, wav.WavSpec(1, 11025, 16, "int"))
+        paths.append(p)
+
+    rep_b = decode_fleet(paths, tmp_path / "out_b", ingest="host16", fleet_batch=4)
+    rep_1 = decode_fleet(paths, tmp_path / "out_1", ingest="host16", fleet_batch=1)
+    assert len(rep_b.ok) == len(rep_1.ok) == 5
+    assert len(rep_b.failed) == len(rep_1.failed) == 1  # the 4-row member
+    for rb, r1 in zip(rep_b.ok, rep_1.ok):
+        assert rb.input_path == r1.input_path
+        assert rb.n_rows == r1.n_rows
+        assert rb.output_path.read_bytes() == r1.output_path.read_bytes()
+
+    rep_t = decode_fleet(
+        paths[:3], tmp_path / "out_t", ingest="host16",
+        contrast=Contrast.telemetry(), fleet_batch=4,
+    )
+    rep_t1 = decode_fleet(
+        paths[:3], tmp_path / "out_t1", ingest="host16",
+        contrast=Contrast.telemetry(), fleet_batch=1,
+    )
+    assert len(rep_t.ok) == len(rep_t1.ok)
+    for rb, r1 in zip(rep_t.ok, rep_t1.ok):
+        assert rb.output_path.read_bytes() == r1.output_path.read_bytes()
+
+
+def test_decode_render_batch_guards():
+    """decode_render_batch: bucket/quantization uniformity enforced;
+    short members come back as error entries, not exceptions."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from noaa_apt_tpu import err
+    from noaa_apt_tpu.core.frequency import Rate
+    from noaa_apt_tpu.core.profiles import STANDARD
+    from noaa_apt_tpu.graph.decode import Decoder
+
+    sig, _ = synth_recording(n_rows=16, sample_rate=11025, noise_db=18.0)
+    dec = Decoder(STANDARD, ingest="host")
+    pl_a = dec.prepare_work(sig, Rate(11025), to_device=False)
+    short = dec.prepare_work(sig[: len(sig) // 8], Rate(11025), to_device=False)
+
+    res = dec.decode_render_batch([pl_a, short])
+    assert isinstance(res[1], err.AptError)
+    gray, sync_pos = res[0]
+    want_gray, want_sync = dec.decode_render(pl_a)
+    assert sync_pos == want_sync
+    np.testing.assert_array_equal(gray, want_gray)
+
+    import dataclasses
+
+    sig2, _ = synth_recording(n_rows=64, sample_rate=11025, seed=1)
+    pl_big = dec.prepare_work(sig2, Rate(11025), to_device=False)
+    with _pytest.raises(err.AptError):
+        dec.decode_render_batch([pl_a, pl_big])  # different buckets
+    q = dataclasses.replace(pl_a, inv_scale=1.0)
+    with _pytest.raises(err.AptError):
+        dec.decode_render_batch([pl_a, q])  # mixed quantization
