@@ -143,3 +143,38 @@ def test_conformance_quick():
     from noaa_apt_tpu.core.profiles import STANDARD
 
     mod.check_combo(STANDARD, 11025, 208)
+
+
+@_skip_off_tpu
+def test_batched_selector_matches_unbatched_on_tpu():
+    """The compiled (non-interpret) batched Pallas selector must pick
+    the same peaks as the unbatched kernel and the host scan on real
+    hardware — the Mosaic lowering of the (batch, chunk) grid and the
+    per-element SMEM re-seed are exactly what interpreter mode cannot
+    prove."""
+    from noaa_apt_tpu.core.frequency import Rate
+    from noaa_apt_tpu.ops.pallas_select import select_peaks_batch, select_peaks_jit
+    from noaa_apt_tpu.ops.sync import find_sync_peaks
+
+    wr = Rate(4160)
+    spr = 2080
+    md = spr * 8 // 10
+    rng = np.random.default_rng(7)
+    B, n = 4, 120_000
+    corr = rng.standard_normal((B, n)).astype(np.float32)
+    corr[1, 20_000:70_000] = -100.0  # dropout: forced appends
+    corr[2, 0] = 50.0  # i=0 replacement
+    n_valids = np.array([n, n - 777, n - spr, 5 * spr + 3], np.int32)
+    max_peaks = max(16, n // spr + 16)
+
+    fn = jax.jit(
+        lambda c, nv: select_peaks_batch(c, nv, spr, md, max_peaks),
+    )
+    pb, kb = jax.device_get(fn(jnp.asarray(corr), jnp.asarray(n_valids)))
+    for b in range(B):
+        want = find_sync_peaks(corr[b, : int(n_valids[b])], wr)
+        assert pb[b, : int(kb[b])].tolist() == want, f"row {b}"
+        pu, ku = jax.device_get(
+            select_peaks_jit(jnp.asarray(corr[b]), int(n_valids[b]), spr, md, max_peaks)
+        )
+        assert pu[: int(ku)].tolist() == want, f"row {b} unbatched"
