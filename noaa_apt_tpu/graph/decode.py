@@ -1123,7 +1123,23 @@ class Decoder:
         step = self._get_fused_render(
             w_pad, quantized, contrast_kind, pct, batch=len(src)
         )
-        ys = jnp.stack([jnp.asarray(payloads[b].data) for b in src])
+
+        def to_padded(p):
+            # Same contract as decode_render: device buffers arrive
+            # already padded to the bucket; host arrays are length
+            # work_true and pad here.
+            if isinstance(p.data, jax.Array):
+                if p.data.shape[0] != w_pad:
+                    raise err.InternalError(
+                        f"pre-uploaded work buffer is {p.data.shape[0]}, "
+                        f"expected pad_bucket({p.work_true}) = {w_pad}"
+                    )
+                return p.data
+            buf = np.zeros(w_pad, dtype=p.data.dtype)
+            buf[: p.work_true] = p.data
+            return jnp.asarray(buf)
+
+        ys = jnp.stack([to_padded(payloads[b]) for b in src])
         inv_scales = np.asarray(
             [payloads[b].inv_scale if quantized else 1.0 for b in src], np.float32
         )

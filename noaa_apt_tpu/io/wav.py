@@ -201,9 +201,16 @@ class PcmStreamReader:
 
     ``read(max_frames)`` returns the next float32 mono chunk at the
     same scale as :func:`load_wav` (raw integer scale for int formats),
-    keeping channel 0 of multichannel data; ``None`` signals EOF.  A
-    lying WAV data-chunk size is ignored: data is read until the stream
-    ends (live sources often write a placeholder size).
+    keeping channel 0 of multichannel data; ``None`` signals EOF.
+
+    Data-chunk size semantics: a real declared size is honored (so
+    trailing LIST/INFO/id3 metadata chunks are not decoded as audio,
+    matching the offline loader), but the live-source placeholders
+    0, 0xFFFFFFFF and 0x7FFFFFFE mean "unknown" and data is read until
+    the stream ends; a stream that ends early is truncation-tolerated
+    either way.  Unlike :func:`load_wav` (which scans the whole file,
+    last fmt/data chunk winning), a stream cannot seek: the FIRST data
+    chunk is decoded and ``fmt`` must precede it.
     """
 
     def __init__(
@@ -212,6 +219,7 @@ class PcmStreamReader:
         self._f = fileobj
         self._buf = b""
         self._eof = False
+        self._data_left = None  # bytes left of a declared data chunk
         if fmt not in ("auto", "s16", "f32"):
             raise err.InvalidInputError(f"stream format must be s16 or f32, got {fmt!r}")
         if raw_fmt not in ("s16", "f32"):
@@ -257,6 +265,14 @@ class PcmStreamReader:
             cid = hdr[0:4]
             (size,) = struct.unpack_from("<I", hdr, 4)
             if cid == b"data":
+                # Honor the declared size so trailing metadata chunks
+                # (LIST/INFO, id3) are not decoded as audio — EXCEPT
+                # the live-source placeholders (0, 0xFFFFFFFF, and the
+                # streaming-RIFF 0x7FFFFFFE convention), which mean
+                # "unknown: read to end of stream".
+                self._data_left = (
+                    None if size in (0, 0xFFFFFFFF, 0x7FFFFFFE) else size
+                )
                 break
             body = self._read_exact(size + (size & 1))
             if cid == b"fmt ":
@@ -289,11 +305,16 @@ class PcmStreamReader:
 
     def read(self, max_frames: int) -> np.ndarray | None:
         """Next float32 chunk of up to ``max_frames`` mono frames;
-        ``None`` at end of stream."""
+        ``None`` at end of stream (or of the declared data chunk)."""
         frame_bytes = self._channels * (self._bits // 8)
         want = max_frames * frame_bytes
+        if self._data_left is not None:
+            want = min(want, self._data_left + len(self._buf))
         if len(self._buf) < want and not self._eof:
-            self._buf += self._read_exact(want - len(self._buf))
+            got = self._read_exact(want - len(self._buf))
+            if self._data_left is not None:
+                self._data_left -= len(got)
+            self._buf += got
         n_frames = len(self._buf) // frame_bytes
         if n_frames == 0:
             # Anything left is a partial frame — dropped, like load_wav.

@@ -240,16 +240,9 @@ def decode_fleet(
             except Exception as e:  # noqa: BLE001 - per-pass isolation
                 loaded.put((i, p, None, None, None, str(e), 0.0, 0.0))
 
-    def encode_gray(res_item, p, out_name, gray):
-        """Post-fetch encode of one pass's u8 rows (shared by the
-        per-pass and grouped-dispatch paths)."""
-        t0 = time.time()
-        orb = orbit_for(p) if orbit_for is not None else orbit
-        res_item.n_rows = gray.shape[0]
-        if gray_ok and orb is None:
-            img = gray  # mode-L PNG: same pixels, 1/4 the bytes
-        else:
-            img = finish_image(gray, contrast.kind, rotate, color, orb)
+    def write_img(res_item, img, out_name, t0):
+        """Write a pass's final image + record encode bookkeeping
+        (shared by every encoder path)."""
         out = out_dir / (out_name + ".png")
         if img.ndim == 2:
             # Mode-L: the raw-scanline writer skips PIL's
@@ -262,6 +255,18 @@ def decode_fleet(
         res_item.output_path = out
         res_item.encode_s = time.time() - t0
         res_item.seconds += res_item.fetch_s + res_item.encode_s
+
+    def encode_gray(res_item, p, out_name, gray):
+        """Post-fetch encode of one pass's u8 rows (shared by the
+        per-pass and grouped-dispatch paths)."""
+        t0 = time.time()
+        orb = orbit_for(p) if orbit_for is not None else orbit
+        res_item.n_rows = gray.shape[0]
+        if gray_ok and orb is None:
+            img = gray  # mode-L PNG: same pixels, 1/4 the bytes
+        else:
+            img = finish_image(gray, contrast.kind, rotate, color, orb)
+        write_img(res_item, img, out_name, t0)
 
     def encoder():
         while True:
@@ -308,14 +313,7 @@ def decode_fleet(
                         # Same mode-L rule on the unfused path (e.g.
                         # sync=False): channels are replicated gray.
                         img = np.ascontiguousarray(img[..., 0])
-                    out = out_dir / (out_name + ".png")
-                    if img.ndim == 2:
-                        write_gray_png(out, img, level=png_compress_level)
-                    else:
-                        Image.fromarray(img).save(out, compress_level=png_compress_level)
-                    res_item.output_path = out
-                    res_item.encode_s = time.time() - t0
-                    res_item.seconds += res_item.encode_s
+                    write_img(res_item, img, out_name, t0)
             except Exception as e:  # noqa: BLE001
                 res_item.error = str(e)
 
@@ -413,7 +411,6 @@ def decode_fleet(
             except Exception as e:  # noqa: BLE001 - per-pass isolation
                 res_item.error = str(e)
                 log.warning("decode failed for %s: %s", p, e)
-        flush_group()
     finally:
         flush_group()
         for _ in enc_threads:

@@ -319,3 +319,53 @@ def test_stream_raw_pcm_needs_rate(env):
     Path("raw2.pcm").write_bytes(b"\x00\x01" * 100)
     with _pytest.raises(err.AptError):
         inner_main(["-q", "raw2.pcm", "--stream"])
+
+
+def test_stream_wav_trailing_metadata_chunk(env, monkeypatch):
+    """Trailing LIST/INFO metadata after the data chunk must not be
+    decoded as audio: the stream honors the declared data size, so the
+    PNG equals the offline decode (which also excludes it)."""
+    import struct
+    import sys
+    from types import SimpleNamespace
+
+    data = bytearray(Path("test_11025hz.wav").read_bytes())
+    meta = b"LIST" + struct.pack("<I", 12) + b"INFOIART" + struct.pack("<I", 0)
+    (sz,) = struct.unpack_from("<I", data, 4)
+    struct.pack_into("<I", data, 4, sz + len(meta))
+    tagged = bytes(data) + meta
+    Path("tagged.wav").write_bytes(tagged)
+
+    assert inner_main(
+        ["-q", "tagged.wav", "--raw-out", "off_t.npy", "-o", "offline_t.png"]
+    ) == 0
+    monkeypatch.setattr(sys, "stdin", SimpleNamespace(buffer=_ChunkedPipe(tagged)))
+    assert inner_main(
+        ["-q", "-", "--stream", "--raw-out", "st_t.npy", "-o", "stream_t.png"]
+    ) == 0
+    np.testing.assert_array_equal(np.load("st_t.npy"), np.load("off_t.npy"))
+    assert Path("stream_t.png").read_bytes() == Path("offline_t.png").read_bytes()
+
+
+def test_stream_wav_placeholder_data_size(env, monkeypatch):
+    """A live-source placeholder data size (0xFFFFFFFF) means read to
+    end of stream — the pipe case where the writer can't know the
+    final size."""
+    import struct
+    import sys
+    from types import SimpleNamespace
+
+    data = bytearray(Path("test_11025hz.wav").read_bytes())
+    # write_wav puts the data header at offset 36.
+    assert data[36:40] == b"data"
+    struct.pack_into("<I", data, 40, 0xFFFFFFFF)
+    monkeypatch.setattr(
+        sys, "stdin", SimpleNamespace(buffer=_ChunkedPipe(bytes(data)))
+    )
+    assert inner_main(
+        ["-q", "-", "--stream", "--raw-out", "st_p.npy", "-o", "stream_p.png"]
+    ) == 0
+    assert inner_main(
+        ["-q", "test_11025hz.wav", "--raw-out", "off_p.npy", "-o", "offline_p.png"]
+    ) == 0
+    np.testing.assert_array_equal(np.load("st_p.npy"), np.load("off_p.npy"))

@@ -9,6 +9,7 @@ commands) end-to-end — regressions there pass the fake-toolkit tests
 in test_gui_app.py but fail here.  Reference anchor: gui/gui.rs:48-141.
 """
 
+import os
 import time
 
 import numpy as np
@@ -26,8 +27,17 @@ def _display_usable() -> bool:
         return False
 
 
+_usable = _display_usable()
+if not _usable and os.environ.get("NOAA_APT_REQUIRE_DISPLAY"):
+    # CI sets this so a broken Xvfb/tkinter setup FAILS the job
+    # instead of green-skipping the whole point of the job.
+    raise RuntimeError(
+        "NOAA_APT_REQUIRE_DISPLAY is set but tkinter cannot open a "
+        "display — Xvfb or the interpreter's _tkinter is broken"
+    )
+
 requires_display = pytest.mark.skipif(
-    not _display_usable(),
+    not _usable,
     reason="no usable X display (run under xvfb-run)",
 )
 

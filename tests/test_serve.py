@@ -360,3 +360,39 @@ def test_decode_render_batch_guards():
     q = dataclasses.replace(pl_a, inv_scale=1.0)
     with _pytest.raises(err.AptError):
         dec.decode_render_batch([pl_a, q])  # mixed quantization
+
+
+def test_decode_render_batch_host_payloads_pad(tmp_path):
+    """Host (to_device=False) payloads of different work_true in the
+    same bucket must pad to the bucket before stacking — and match the
+    per-payload decode_render exactly."""
+    from noaa_apt_tpu.core.frequency import Rate
+    from noaa_apt_tpu.core.profiles import STANDARD
+    from noaa_apt_tpu.graph.decode import Decoder
+
+    import dataclasses
+
+    from noaa_apt_tpu.graph.decode import pad_bucket
+
+    sig_a, _ = synth_recording(n_rows=16, sample_rate=11025, noise_db=18.0, seed=0)
+    dec = Decoder(STANDARD, ingest="host")
+    pl_a = dec.prepare_work(sig_a, Rate(11025), to_device=False)
+    # A shorter payload in the SAME bucket (pick the largest trim that
+    # does not cross a bucket edge).
+    trim = next(
+        t for t in (2000, 500, 100, 1)
+        if pad_bucket(pl_a.work_true - t) == pad_bucket(pl_a.work_true)
+    )
+    pl_b = dataclasses.replace(
+        pl_a, data=pl_a.data[: pl_a.work_true - trim],
+        work_true=pl_a.work_true - trim,
+    )
+    assert pl_a.work_true != pl_b.work_true
+    assert pad_bucket(pl_a.work_true) == pad_bucket(pl_b.work_true)
+
+    res = dec.decode_render_batch([pl_a, pl_b], pad_to=4)
+    for r, pl in zip(res, [pl_a, pl_b]):
+        gray, sync_pos = r
+        want_gray, want_sync = dec.decode_render(pl)
+        assert sync_pos == want_sync
+        np.testing.assert_array_equal(gray, want_gray)
