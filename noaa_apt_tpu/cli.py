@@ -78,12 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rotate-image", action="store_true", help="Deprecated. Use --rotate instead.")
     p.add_argument("--distributed", metavar="N_CHIPS", type=int, default=0, help=(
         "TPU extension: sequence-shard the decode over N chips."))
-    p.add_argument("--ingest", metavar="WHERE", choices=["device", "host", "host16"], default="device", help=(
+    p.add_argument("--ingest", metavar="WHERE", choices=["device", "host", "host16", "host8"], default="device", help=(
         "TPU extension: where the first resample runs. 'host' uses the "
         "native C++ polyphase before upload (fewer bytes over the "
         "host-accelerator link); 'host16' additionally quantizes the work "
-        "signal to 16-bit (half the bytes again, ~90 dB SNR); 'device' "
-        "(default) keeps it in the XLA graph."))
+        "signal to 16-bit (half the bytes again, ~90 dB SNR); 'host8' "
+        "quantizes to 8-bit (a quarter of the f32 bytes, ~42 dB SNR — "
+        "lossy but below real APT channel noise; for bandwidth-starved "
+        "links); 'device' (default) keeps it in the XLA graph."))
     p.add_argument("--raw-out", metavar="FILE.npy", help=(
         "Also save the raw decoded signal (one float per pixel at 4160 Hz) "
         "as .npy; feed it back as the input to re-process without decoding "
@@ -461,7 +463,7 @@ def _run(args) -> int:
         else:
             levels = ("minmax", 0.98)
         context.status(0.1, f"Decoding (fused, {args.ingest} ingest)")
-        if args.ingest in ("host", "host16"):
+        if args.ingest in ("host", "host16", "host8"):
             payload = decoder_obj.prepare_work(signal, rate, context=context)
         else:
             payload = None

@@ -111,7 +111,10 @@ def decode_fleet(
 
     ``loaders`` host threads parse WAVs, run the native C++ ingest
     resample (``ingest="host"``; ``"host16"`` additionally quantizes the
-    work signal to i16+scale, halving upload bytes at ~90 dB SNR) and
+    work signal to i16+scale, halving upload bytes at ~90 dB SNR;
+    ``"host8"`` quantizes to i8+scale — a quarter of the f32 bytes at
+    ~42 dB SNR, the lossy mode for upload-bandwidth-starved links, see
+    ``Decoder.prepare_work``) and
     pre-upload the padded buffer to the device, all overlapped with the
     device stage working on earlier passes; ``encoders`` threads run
     post-processing (contrast fetch, overlay drawing, PNG encode) so a
@@ -221,7 +224,7 @@ def decode_fleet(
                 t1 = time.time()
                 # Ingest + device upload run here, overlapped with the
                 # device stage working on earlier passes.
-                if ingest in ("host", "host16"):
+                if ingest in ("host", "host16", "host8"):
                     work = dec.prepare_work(signal, rate, to_device=True)
                 elif fused_levels is not None:
                     # Device ingest: pre-upload the raw recording; the

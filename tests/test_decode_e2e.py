@@ -197,6 +197,32 @@ def test_host16_quantized_ingest_near_lossless():
     assert psnr > 60.0, f"host16 PSNR vs f32 ingest: {psnr:.1f} dB"
 
 
+def test_host8_quantized_ingest_lossy_but_faithful():
+    """ingest="host8" ships the work signal as i8+scale (a QUARTER of
+    the f32 link bytes, ~42 dB SNR) — the lossy serving mode for
+    upload-starved links.  Contract: sync positions must not move on a
+    clean recording, and the decoded image must stay >= 40 dB PSNR vs
+    the exact f32 host-ingest path (sub-LSB at u8 for most pixels,
+    below the channel noise real APT recordings carry)."""
+    signal, _ = synth_recording(n_rows=24, sample_rate=48000, noise_db=15.0)
+    sig_i16 = np.clip(
+        np.round(signal / np.abs(signal).max() * 32767), -32768, 32767
+    ).astype(np.int16)
+
+    dec32 = Decoder(STANDARD, ingest="host")
+    dec8 = Decoder(STANDARD, ingest="host8")
+    r32 = dec32.decode(sig_i16, Rate(48000))
+    r8 = dec8.decode(sig_i16, Rate(48000))
+    payload = dec8.prepare_work(sig_i16, Rate(48000))
+    assert payload is not None and payload.data.dtype == np.int8
+    assert r8.sync_positions == r32.sync_positions
+    a, b = r32.image_np(), r8.image_np()
+    scale = max(np.abs(a).max(), 1e-9)
+    mse = np.mean(((a - b) / scale * 255.0) ** 2)
+    psnr = 10 * np.log10(255.0**2 / mse) if mse > 0 else np.inf
+    assert psnr > 40.0, f"host8 PSNR vs f32 ingest: {psnr:.1f} dB"
+
+
 def test_work_payload_device_preupload_matches():
     """A loader thread can pad + upload the work signal ahead of time
     (WorkPayload with a device array); decode must accept it and match

@@ -71,6 +71,30 @@ def test_decode_fleet_mixed_rates(tmp_path):
     assert 2 <= report_dev.compile_variants <= 8
 
 
+def test_decode_fleet_host8_lossy_mode(tmp_path):
+    """The i8-upload serving mode runs end-to-end through the fleet
+    pipeline and its PNGs stay >= 40 dB PSNR vs the exact f32-upload
+    outputs (the bench's headline-eligibility bar for host8)."""
+    from PIL import Image
+
+    paths = []
+    for seed in range(2):
+        sig, _ = synth_recording(n_rows=16, sample_rate=48000, noise_db=18.0, seed=seed)
+        p = tmp_path / f"p{seed}.wav"
+        wav.write_wav(p, sig, wav.WavSpec(1, 48000, 16, "int"))
+        paths.append(p)
+    rep_f32 = decode_fleet(paths, tmp_path / "out_f32", ingest="host")
+    rep_i8 = decode_fleet(paths, tmp_path / "out_i8", ingest="host8")
+    assert len(rep_i8.ok) == 2 and not rep_i8.failed
+    for r32, r8 in zip(rep_f32.ok, rep_i8.ok):
+        a = np.asarray(Image.open(r32.output_path)).astype(np.float64)
+        b = np.asarray(Image.open(r8.output_path)).astype(np.float64)
+        assert a.shape == b.shape
+        mse = float(((a - b) ** 2).mean())
+        psnr = 10 * np.log10(255.0**2 / mse) if mse > 0 else np.inf
+        assert psnr > 40.0, f"fleet host8 PSNR {psnr:.1f} dB"
+
+
 def test_cli_fleet_mode(tmp_path, monkeypatch):
     from noaa_apt_tpu.cli import inner_main
 
