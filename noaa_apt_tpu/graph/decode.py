@@ -490,14 +490,9 @@ class Decoder:
         if quantize is None:
             quantize = self.ingest in ("host16", "host8")
         qbits = 8 if self.ingest == "host8" else 16
-        if (
-            quantize
-            and qbits == 16
-            and isinstance(signal, np.ndarray)
-            and signal.dtype == np.int16
-        ):
+        if quantize and isinstance(signal, np.ndarray) and signal.dtype == np.int16:
             # Fused native ingest: i16 PCM -> streamed-conversion
-            # polyphase -> i16 quantize in ONE C++ call, writing
+            # polyphase -> i16/i8 quantize in ONE C++ call, writing
             # straight into the padded upload bucket — no full f32
             # copy of the recording, no numpy max/round passes.  The
             # output is bit-identical to the numpy pipeline below
@@ -517,7 +512,7 @@ class Decoder:
                         0.1, f"Resampling to {self.work_rate.get_hz()} (host)"
                     )
                 fused = ingest_i16_native(
-                    signal, l, m, coeff, out_len, pad_bucket(out_len)
+                    signal, l, m, coeff, out_len, pad_bucket(out_len), bits=qbits
                 )
                 if fused is not None:
                     buf, inv_scale = fused

@@ -85,6 +85,13 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ]
+            lib.apt_ingest_i8.restype = ctypes.c_int64
+            lib.apt_ingest_i8.argtypes = [
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int8), ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ]
             _lib = lib
         except OSError as e:
             log.info("Native kernel load failed (%s); using NumPy fallback", e)
@@ -125,13 +132,15 @@ def fast_resample_native(
 def ingest_i16_native(
     x: np.ndarray, l: int, m: int, coeff: np.ndarray,
     out_true: int, out_pad: int, threads: int | None = None,
+    bits: int = 16,
 ) -> tuple[np.ndarray, float] | None:
     """Fused serving ingest: raw int16 PCM -> polyphase work signal ->
-    i16 quantization, one native call, streamed conversion (no full
-    f32 copy of the recording).  Returns ``(padded i16 work buffer,
-    inv_scale)``, bit-identical to the numpy host16 pipeline
-    (f32 convert -> vectorized resample -> np.round quantize), or None
-    if the native library is unavailable.
+    i16 (``bits=16``, the host16 mode) or i8 (``bits=8``, the lossy
+    host8 mode) quantization, one native call, streamed conversion (no
+    full f32 copy of the recording).  Returns ``(padded int work
+    buffer, inv_scale)``, bit-identical to the corresponding numpy
+    pipeline (f32 convert -> vectorized resample -> np.round
+    quantize), or None if the native library is unavailable.
 
     ``x`` may be a read-only np.memmap straight over the WAV data
     chunk (see ``wav.load_device_ready``): the kernel only reads it.
@@ -143,17 +152,24 @@ def ingest_i16_native(
 
     if x.dtype != np.int16:
         raise ValueError(f"ingest_i16 needs int16 input, got {x.dtype}")
+    if bits not in (8, 16):
+        raise ValueError(f"ingest quantization must be 8 or 16 bits, got {bits}")
     if not x.flags.c_contiguous:
         x = np.ascontiguousarray(x)
     coeff = np.ascontiguousarray(coeff, dtype=np.float32)
-    out = np.empty(out_pad, dtype=np.int16)
     inv_scale = ctypes.c_float(0.0)
     nthreads = threads or min(8, os.cpu_count() or 1)
-    rc = lib.apt_ingest_i16(
+    if bits == 8:
+        out = np.empty(out_pad, dtype=np.int8)
+        fn, ctype = lib.apt_ingest_i8, ctypes.c_int8
+    else:
+        out = np.empty(out_pad, dtype=np.int16)
+        fn, ctype = lib.apt_ingest_i16, ctypes.c_int16
+    rc = fn(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), x.shape[0],
         l, m,
         coeff.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), coeff.shape[0],
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out.ctypes.data_as(ctypes.POINTER(ctype)),
         out_true, out_pad,
         ctypes.byref(inv_scale), nthreads,
     )

@@ -197,6 +197,48 @@ static void quantize_range(const float* w, int16_t* out, float scale,
     }
 }
 
+static void quantize_range_i8(const float* w, int8_t* out, float scale,
+                              int64_t k0, int64_t k1) {
+    for (int64_t i = k0; i < k1; ++i) {
+        out[i] = (int8_t)__builtin_nearbyintf(w[i] * scale);
+    }
+}
+
+// Shared front half of the fused ingest: resample x into work
+// (out_true samples, threaded) and return the peak |work| (threaded
+// reduction; 1.0 if the signal is all-zero).
+static float ingest_work_and_peak(const int16_t* x, int64_t n, int64_t l,
+                                  int64_t m, const float* coeff, int64_t k,
+                                  float* work, int64_t out_true,
+                                  int64_t threads, int64_t chunk) {
+    const PhaseBank bank = build_bank(coeff, k, l);
+    {
+        std::vector<std::thread> pool;
+        for (int64_t t = 1; t < threads; ++t) {
+            const int64_t k0 = t * chunk, k1 = std::min(out_true, k0 + chunk);
+            if (k0 >= k1) break;
+            pool.emplace_back(ingest_range, x, n, l, m, &bank, work, k0, k1);
+        }
+        ingest_range(x, n, l, m, &bank, work, 0, std::min(out_true, chunk));
+        for (auto& th : pool) th.join();
+    }
+
+    std::vector<float> maxes(threads, 0.0f);
+    {
+        std::vector<std::thread> pool;
+        for (int64_t t = 1; t < threads; ++t) {
+            const int64_t k0 = t * chunk, k1 = std::min(out_true, k0 + chunk);
+            if (k0 >= k1) break;
+            pool.emplace_back(max_abs_range, work, k0, k1, &maxes[t]);
+        }
+        max_abs_range(work, 0, std::min(out_true, chunk), &maxes[0]);
+        for (auto& th : pool) th.join();
+    }
+    float peak = 0.0f;
+    for (float v : maxes) peak = std::max(peak, v);
+    return peak == 0.0f ? 1.0f : peak;
+}
+
 // x: raw int16 PCM (n samples).  out: int16 buffer of out_pad samples;
 // [0, out_true) gets the quantized work signal, [out_true, out_pad)
 // is zeroed (the decoder's padded upload bucket).  *inv_scale gets the
@@ -207,37 +249,11 @@ int64_t apt_ingest_i16(const int16_t* x, int64_t n, int64_t l, int64_t m,
                        int16_t* out, int64_t out_true, int64_t out_pad,
                        float* inv_scale, int64_t threads) {
     if (l < 1 || m < 1 || out_true < 0 || out_pad < out_true) return -1;
-    const PhaseBank bank = build_bank(coeff, k, l);
-    std::vector<float> work(out_true);
     if (threads < 1) threads = 1;
-    const int64_t chunk = threads > 0 ? (out_true + threads - 1) / threads : 0;
-
-    {
-        std::vector<std::thread> pool;
-        for (int64_t t = 1; t < threads; ++t) {
-            const int64_t k0 = t * chunk, k1 = std::min(out_true, k0 + chunk);
-            if (k0 >= k1) break;
-            pool.emplace_back(ingest_range, x, n, l, m, &bank, work.data(), k0, k1);
-        }
-        ingest_range(x, n, l, m, &bank, work.data(), 0,
-                     std::min(out_true, chunk));
-        for (auto& th : pool) th.join();
-    }
-
-    std::vector<float> maxes(threads, 0.0f);
-    {
-        std::vector<std::thread> pool;
-        for (int64_t t = 1; t < threads; ++t) {
-            const int64_t k0 = t * chunk, k1 = std::min(out_true, k0 + chunk);
-            if (k0 >= k1) break;
-            pool.emplace_back(max_abs_range, work.data(), k0, k1, &maxes[t]);
-        }
-        max_abs_range(work.data(), 0, std::min(out_true, chunk), &maxes[0]);
-        for (auto& th : pool) th.join();
-    }
-    float peak = 0.0f;
-    for (float v : maxes) peak = std::max(peak, v);
-    if (peak == 0.0f) peak = 1.0f;
+    const int64_t chunk = (out_true + threads - 1) / threads;
+    std::vector<float> work(out_true);
+    const float peak =
+        ingest_work_and_peak(x, n, l, m, coeff, k, work.data(), out_true, threads, chunk);
     // Divide in double then round once to f32 — numpy's
     // np.float32(32767.0 / peak); a single-rounding f32 division can
     // land 1 ulp away and shift round-half-even quantization cells.
@@ -252,6 +268,37 @@ int64_t apt_ingest_i16(const int16_t* x, int64_t n, int64_t l, int64_t m,
             pool.emplace_back(quantize_range, work.data(), out, scale, k0, k1);
         }
         quantize_range(work.data(), out, scale, 0, std::min(out_true, chunk));
+        for (auto& th : pool) th.join();
+    }
+    for (int64_t i = out_true; i < out_pad; ++i) out[i] = 0;
+    return out_true;
+}
+
+// Same fused ingest quantized to i8 (the lossy "host8" serving mode:
+// a quarter of the f32 upload bytes, ~42 dB SNR).  Numerics match the
+// numpy i8 pipeline exactly: same dot kernel, np.float32(127.0/peak)
+// scale, round-half-even quantizer.
+int64_t apt_ingest_i8(const int16_t* x, int64_t n, int64_t l, int64_t m,
+                      const float* coeff, int64_t k,
+                      int8_t* out, int64_t out_true, int64_t out_pad,
+                      float* inv_scale, int64_t threads) {
+    if (l < 1 || m < 1 || out_true < 0 || out_pad < out_true) return -1;
+    if (threads < 1) threads = 1;
+    const int64_t chunk = (out_true + threads - 1) / threads;
+    std::vector<float> work(out_true);
+    const float peak =
+        ingest_work_and_peak(x, n, l, m, coeff, k, work.data(), out_true, threads, chunk);
+    const float scale = (float)(127.0 / (double)peak);
+    *inv_scale = 1.0f / scale;
+
+    {
+        std::vector<std::thread> pool;
+        for (int64_t t = 1; t < threads; ++t) {
+            const int64_t k0 = t * chunk, k1 = std::min(out_true, k0 + chunk);
+            if (k0 >= k1) break;
+            pool.emplace_back(quantize_range_i8, work.data(), out, scale, k0, k1);
+        }
+        quantize_range_i8(work.data(), out, scale, 0, std::min(out_true, chunk));
         for (auto& th : pool) th.join();
     }
     for (int64_t i = out_true; i < out_pad; ++i) out[i] = 0;

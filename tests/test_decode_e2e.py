@@ -481,6 +481,47 @@ def test_fused_native_ingest_matches_numpy():
     np.testing.assert_array_equal(np.asarray(payload.data), want)
 
 
+def test_fused_native_ingest_i8_matches_numpy():
+    """The C++ fused ingest's i8 variant (the host8 mode's fast path)
+    must be bit-identical to the numpy i8 pipeline: same dot kernel,
+    np.float32(127/peak) scale, round-half-even quantizer."""
+    from noaa_apt_tpu.graph.decode import pad_bucket
+    from noaa_apt_tpu.native import ingest_i16_native
+
+    signal, _ = synth_recording(n_rows=18, sample_rate=48000, noise_db=15.0)
+    sig_i16 = np.clip(
+        np.round(signal / np.abs(signal).max() * 32767), -32768, 32767
+    ).astype(np.int16)
+    dec = Decoder(STANDARD, ingest="host8")
+
+    plan = dec._ingest_plan(Rate(48000), len(sig_i16))
+    assert plan is not None
+    l, m, coeff, out_len = plan
+    fused = ingest_i16_native(sig_i16, l, m, coeff, out_len, pad_bucket(out_len), bits=8)
+    if fused is None:
+        pytest.skip("native library unavailable")
+    buf, inv_scale = fused
+    assert buf.dtype == np.int8
+
+    work = dec._host_ingest(sig_i16, Rate(48000), exact=False)
+    peak = float(np.max(np.abs(work))) or 1.0
+    scale = np.float32(127.0 / peak)
+    want = np.round(work * scale).astype(np.int8)
+    want_inv = float(np.float32(1.0) / scale)
+
+    assert buf.shape[0] == pad_bucket(out_len)
+    np.testing.assert_array_equal(buf[:out_len], want)
+    assert not buf[out_len:].any()
+    assert inv_scale == want_inv
+
+    # prepare_work routes int16 input on a host8 decoder through the
+    # fused i8 kernel.
+    payload = dec.prepare_work(sig_i16, Rate(48000), to_device=False)
+    assert payload.data.dtype == np.int8
+    assert payload.inv_scale == want_inv
+    np.testing.assert_array_equal(np.asarray(payload.data), want)
+
+
 def test_fused_native_ingest_short_input():
     """A few hundred samples must behave like the numpy path: tail
     windows read only what exists, no out-of-bounds."""
