@@ -154,13 +154,11 @@ def main():
     # graph set can take minutes; cache it across bench invocations.
     import jax
 
-    cache_dir = HERE / ".jax_cache"
-    try:
-        cache_dir.mkdir(exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:
-        log(f"compilation cache unavailable: {e}")
+    from noaa_apt_tpu.io.jaxcache import enable_persistent_compile_cache, warm_link_async
+
+    if not enable_persistent_compile_cache(HERE / ".jax_cache"):
+        log("compilation cache unavailable")
+    warm_link_async()
 
     import jax.numpy as jnp
 
@@ -204,11 +202,14 @@ def main():
     log(f"link: upload {up_mbps:.1f} MB/s, fetch {down_mbps:.1f} MB/s")
 
     # -- 4. fleet throughput through the serving pipeline --------------
-    # Three ingest modes: "device" uploads the raw i16 recording and
+    # Four ingest modes: "device" uploads the raw i16 recording and
     # runs the whole pipeline (polyphase included) in one fused device
     # graph — zero host DSP; "host16"/"host" pre-resample on the host
-    # C++ path (8x/4x fewer upload bytes, but cost host CPU, which the
-    # active TPU tunnel throttles heavily on this machine).
+    # C++ path (8x/4x fewer upload bytes than device, but cost host
+    # CPU, which the active TPU tunnel throttles heavily on this
+    # machine); "host8" additionally quantizes the work upload to i8
+    # (~42 dB SNR) — LOSSY, so it is only headline-eligible when its
+    # measured output PSNR vs the exact pipeline is >= 40 dB.
     out_dir = HERE / ".bench_fleet_out"
     report = None
 
@@ -273,9 +274,16 @@ def main():
                     continue
                 sq_err += float(((a - b) ** 2).sum())
                 n_px += a.size
-            mse = sq_err / max(n_px, 1)
-            fleet_psnr_db = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
-            log(f"fleet/host8 PSNR vs exact f32 outputs: {fleet_psnr_db:.1f} dB")
+            if n_px == 0:
+                # No pixels compared (empty glob / shape mismatch /
+                # missing reference run) is NOT "bit-identical": leave
+                # PSNR unknown so host8 stays headline-ineligible.
+                fleet_psnr_db = None
+                log("fleet/host8 PSNR: no pixels compared (gate stays closed)")
+            else:
+                mse = sq_err / n_px
+                fleet_psnr_db = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+                log(f"fleet/host8 PSNR vs exact f32 outputs: {fleet_psnr_db:.1f} dB")
 
     headline = {
         k: v

@@ -143,6 +143,13 @@ def inner_main(argv=None) -> int:
 
 
 def _run(args) -> int:
+    # First-run UX: a cold TPU compile of the decode graph can take
+    # minutes; the persistent cache makes every later invocation of the
+    # same (length-bucket, rate) variant load in seconds.
+    from .io.jaxcache import enable_persistent_compile_cache, warm_link_async
+
+    enable_persistent_compile_cache()
+    warm_link_async()
     de = cfg.load_de_settings()
 
     if args.version:

@@ -375,6 +375,15 @@ class Decoder:
 
     def _note_compile(self, key) -> None:
         self.compile_log.append(key)
+        if len(self.compile_log) == 1:
+            # First-run UX: on the TPU backend a cold compile of the
+            # fused graph can take minutes (remote compile); say so
+            # instead of hanging silently at the first stage.  With the
+            # persistent cache (io/jaxcache.py) later runs take seconds.
+            log.info(
+                "Compiling decode graph (first run for this input "
+                "shape/rate may take minutes on TPU; cached afterwards)..."
+            )
         log.info(
             "Building decode graph variant %s (%d variants so far)",
             key, len(self.compile_log),

@@ -129,6 +129,12 @@ class App:
     """Window shell: builds widgets, wires actions, runs the mainloop."""
 
     def __init__(self, check_updates: bool, settings) -> None:
+        # Decode-button UX: persist compiled TPU graphs across app runs
+        # so only the very first decode of a shape/rate pays the compile.
+        from ..io.jaxcache import enable_persistent_compile_cache, warm_link_async
+
+        enable_persistent_compile_cache()
+        warm_link_async()
         self.root = tk.Tk()
         self.root.title("noaa-apt")
         self.root.geometry("1000x640")

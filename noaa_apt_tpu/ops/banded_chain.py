@@ -71,10 +71,18 @@ def make_demod_fir_corr_banded(
         for j in range(g):
             band_c[v + j, v] = tmpl[j]
 
-    bf = jnp.asarray(band_f)
-    bc = jnp.asarray(band_c)
-    c2 = jnp.float32(cosphi2)
-    sp = jnp.float32(sinphi)
+    # Host (np) constants, NOT jnp/device arrays: an eager jnp.asarray
+    # here creates a committed device array, and every device-array
+    # constant closed over by the traced fn is fetched BACK to host at
+    # MLIR lowering time (_array_mlir_constant_handler) — through the
+    # axon tunnel the first such fetch costs minutes.  np values embed
+    # as compile-time constants with identical numerics and zero round
+    # trips.  Same rule for the demod scalars: demod_body's reciprocal
+    # would fetch a device scalar at trace time.
+    bf = band_f
+    bc = band_c
+    c2 = np.float32(cosphi2)
+    sp = np.float32(sinphi)
     hi = jax.lax.Precision.HIGHEST
 
     @jax.jit

@@ -80,7 +80,17 @@ def demod_body(prev: jnp.ndarray, curr: jnp.ndarray, cosphi2, sinphi) -> jnp.nda
     # too only if body < 0 exactly; clamp at 0 like hardware sqrt of
     # f32 rounding noise — values are mathematically >= 0.
     root = _det_sqrt(jnp.maximum(body, 0.0))
-    return root * np.float32(np.float32(1.0) / np.float32(sinphi))
+    if isinstance(sinphi, (float, np.floating, int)):
+        inv = np.float32(np.float32(1.0) / np.float32(sinphi))
+    else:
+        # sinphi is a (traced or eager) device value: keep the division
+        # in-graph.  XLA constant-folds 1/c with the same correctly
+        # rounded IEEE f32 division the host would use, so the result is
+        # bit-identical to the host-scalar path — and, critically, this
+        # never calls __array__ on a device value at trace time (an
+        # eager-result fetch through the axon tunnel costs minutes).
+        inv = jnp.float32(1.0) / jnp.asarray(sinphi, jnp.float32)
+    return root * inv
 
 
 @partial(jax.jit, static_argnums=1)

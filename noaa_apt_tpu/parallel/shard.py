@@ -155,11 +155,13 @@ class ShardedDecoder(Decoder):
                 i = (k - l_ctx) * m
                 if i < k_r:
                     quirk[k] = coeff[i]
-            quirk = jnp.asarray(quirk)
-            coeff_j = jnp.asarray(coeff[::-1].astype(np.float32))
+            # Keep constants as np arrays: eager jnp.asarray makes
+            # committed device arrays that lowering fetches back to
+            # host (minutes through the axon tunnel).
+            coeff_j = np.ascontiguousarray(coeff[::-1].astype(np.float32))
         cosphi2, sinphi = dm.demod_constants(carrier)
-        dcoeff = jnp.asarray(demod_coeff)
-        tmpl = jnp.asarray(template.astype(np.float32))
+        dcoeff = np.asarray(demod_coeff)
+        tmpl = np.ascontiguousarray(template.astype(np.float32))
         axis = self.axis
 
         def shard_fn(x_chunk):  # [1?, Ci] -> per-device chunk

@@ -29,7 +29,11 @@ def percent(signal: np.ndarray, pct: float) -> tuple[float, float]:
     mx = np.float32(signal.max())
     total_range = np.float32(mx - mn)
 
-    idx = np.trunc((signal - mn) / total_range * np.float32(num_buckets))
+    # A flat signal gives total_range == 0 and 0/0 = NaN here; that is
+    # deliberate (NaN buckets clamp to 0 below, matching the reference's
+    # f32 semantics), so keep NumPy's warning machinery quiet about it.
+    with np.errstate(invalid="ignore", divide="ignore"):
+        idx = np.trunc((signal - mn) / total_range * np.float32(num_buckets))
     idx = np.clip(np.nan_to_num(idx, nan=0.0), 0, num_buckets - 1).astype(np.int64)
     buckets = np.bincount(idx, minlength=num_buckets)
     return scan_buckets(buckets, signal.size, remainder, mn, total_range)
@@ -82,6 +86,9 @@ def map_signal_u8(signal: np.ndarray, low: float, high: float) -> np.ndarray:
     """
     signal = np.asarray(signal, dtype=np.float32)
     rng = np.float32(high) - np.float32(low)
-    v = (signal - np.float32(low)) / rng * np.float32(255.0)
+    # rng == 0 (flat signal) intentionally produces NaN, mapped to 0 by
+    # fmax below; suppress the expected 0/0 warning so real ones stand out.
+    with np.errstate(invalid="ignore", divide="ignore"):
+        v = (signal - np.float32(low)) / rng * np.float32(255.0)
     v = np.fmin(np.fmax(v, np.float32(0.0)), np.float32(255.0))
     return np.floor(v + np.float32(0.5)).astype(np.uint8)

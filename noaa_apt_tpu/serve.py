@@ -148,6 +148,11 @@ def decode_fleet(
 
     from PIL import Image  # fail fast, not inside the encoder thread
 
+    from .io.jaxcache import enable_persistent_compile_cache, warm_link_async
+
+    enable_persistent_compile_cache()
+    warm_link_async()
+
     if gray_png not in ("auto", "never"):
         raise err.InvalidInputError(f"gray_png must be 'auto' or 'never', got {gray_png!r}")
     ncores = os.cpu_count() or 2

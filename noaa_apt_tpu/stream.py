@@ -176,8 +176,10 @@ class StreamingDecoder:
         ext_out = l_ctx + w + g_ctx
 
         cosphi2, sinphi = dm.demod_constants(carrier)
-        dcoeff = jnp.asarray(demod_coeff)
-        tmpl = jnp.asarray(template.astype(np.float32))
+        # np constants (not eager jnp arrays): device-array constants
+        # are fetched back at lowering time — minutes over the tunnel.
+        dcoeff = np.asarray(demod_coeff)
+        tmpl = np.ascontiguousarray(template.astype(np.float32))
         if l > 1:
             plan = rs.resample_plan(ext_n, l, m, coeff, out_len=ext_out)
             quirk = None
@@ -192,8 +194,8 @@ class StreamingDecoder:
                 idx = (k - l_ctx) * m
                 if idx < k_r:
                     q[k] = coeff[idx]
-            quirk = jnp.asarray(q)
-            coeff_j = jnp.asarray(coeff[::-1].astype(np.float32))
+            quirk = q
+            coeff_j = np.ascontiguousarray(coeff[::-1].astype(np.float32))
 
         def chunk_fn(ext, first):
             # `first` (traced bool) plays shard_fn's `idx == 0` role:
