@@ -386,7 +386,19 @@ def draw_map(
     h = height
 
     def draw_shapefile(name, color):
-        path = res_path("shapefiles", name)
+        if name == "states.shp":
+            # Not vendored (2 MB, absent upstream too): resolved via
+            # the cached auto-fetch (geo/states.py) so `-m yes` draws
+            # states out of the box like map.rs:135-140.
+            from .states import get_states_shp
+
+            path = get_states_shp()
+            if path is None:
+                if strict:
+                    raise err.InternalError("states.shp unavailable")
+                return
+        else:
+            path = res_path("shapefiles", name)
         try:
             parts = read_parts(path)
         except err.InternalError:

@@ -98,6 +98,55 @@ def test_draw_map_on_synthetic_pass(tmp_path, monkeypatch):
     assert outside == 0
 
 
+def test_states_autofetch_and_cache(tmp_path, monkeypatch):
+    """When states.shp is neither vendored nor cached, the overlay
+    fetches it from Natural Earth once and caches it in the config dir
+    (the TLE acquire pattern, misc.rs:388-484); later calls read the
+    cache without touching the network."""
+    import io as _io
+    import zipfile
+
+    from noaa_apt_tpu.geo import states as st
+
+    monkeypatch.setenv("NOAA_APT_RES_DIR", str(tmp_path / "res"))
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "cfg"))
+    # Earlier offline tests may have tripped the per-process failure
+    # memo; this test provides a working (fake) network.
+    monkeypatch.setattr(st, "_download_failed", [False])
+    (tmp_path / "res" / "shapefiles").mkdir(parents=True)
+
+    parts = [np.array([[10.0, 0.0], [11.0, 1.0]])]
+    shp_path = tmp_path / "payload.shp"
+    shp.write_parts(shp_path, parts, shp.SHAPE_POLYLINE)
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("ne_10m_admin_1_states_provinces_lines.shp", shp_path.read_bytes())
+    calls = []
+
+    def fake_urlopen(url, timeout=0):
+        calls.append(url)
+        return _io.BytesIO(buf.getvalue())
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+
+    p1 = st.get_states_shp()
+    assert p1 is not None and p1.exists()
+    assert calls == [st.URL]
+    back = shp.read_parts(p1)
+    np.testing.assert_allclose(back[0], parts[0])
+
+    # Second resolve: cache hit, no new download.
+    p2 = st.get_states_shp()
+    assert p2 == p1
+    assert len(calls) == 1
+
+    # Offline resolve with no cache skips gracefully (None).
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "cfg2"))
+    assert st.get_states_shp(allow_download=False) is None
+
+
 def test_states_layer_drawn_when_present(tmp_path, monkeypatch):
     """states.shp is optional (the upstream checkout strips it), but
     when present it is drawn as polylines with the states color
