@@ -75,6 +75,18 @@ def _combo(parent, value, ids, labels):
     return ttk.Combobox(parent, textvariable=var, values=labels, state="readonly", width=18)
 
 
+def _tz_label_text() -> str:
+    """"Local time\\n(UTC+hh:mm)" next to the time spinners
+    (gui.rs:147-157: the entered time is local, the label says so)."""
+    from datetime import datetime
+
+    off = datetime.now().astimezone().utcoffset()
+    total = int(off.total_seconds()) if off is not None else 0
+    sign = "+" if total >= 0 else "-"
+    total = abs(total)
+    return f"Local time\n(UTC{sign}{total // 3600:02d}:{total % 3600 // 60:02d})"
+
+
 def _calendar_row(parent, value):
     """Year/month/day spinboxes composing a (y, m, d) Value."""
     frame = ttk.Frame(parent)
@@ -346,6 +358,7 @@ class App:
         _spin_row(timerow, w.p_hs_spinner, 0, 23).pack(side="left")
         _spin_row(timerow, w.p_min_spinner, 0, 59).pack(side="left")
         _spin_row(timerow, w.p_sec_spinner, 0, 59).pack(side="left")
+        ttk.Label(timerow, text=_tz_label_text()).pack(side="left", padx=4)
         _grid_rows(p, [
             ("Contrast", _combo(p, w.p_contrast_combo,
                 ["98_percent", "telemetry", "histogram", "minmax"],
@@ -415,6 +428,7 @@ class App:
         _spin_row(timerow, w.ts_hs_spinner, 0, 23).pack(side="left")
         _spin_row(timerow, w.ts_min_spinner, 0, 59).pack(side="left")
         _spin_row(timerow, w.ts_sec_spinner, 0, 59).pack(side="left")
+        ttk.Label(timerow, text=_tz_label_text()).pack(side="left", padx=4)
         _grid_rows(f, [
             ("Read from", _file_row(f, w.ts_read_chooser, title="Select file")),
             ("", self.btn_ts_read),
