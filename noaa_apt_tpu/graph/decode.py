@@ -741,7 +741,10 @@ class Decoder:
         return np.asarray(u8[: result.n_rows])
 
     # -- fused serving path: one upload in, one fetch out --------------
-    def _fused_tail(self, w_pad: int, kind: str, pct: float, batch: bool = False):
+    def _fused_tail(
+        self, w_pad: int, kind: str, pct: float, batch: bool = False,
+        pallas: bool | None = None,
+    ):
         """Closure (f, corr, work_true) -> (u8, n_rows, peaks, k):
         on-device greedy sync -> row compaction/gather -> contrast
         levels (incl. the reference's 1000-bucket percent scan, run as
@@ -767,7 +770,10 @@ class Decoder:
         remainder = np.float32((np.float32(1.0) - np.float32(pct)) / np.float32(2.0))
         hi_thresh = np.float32(np.float32(1.0) - remainder)
 
-        use_psel = self._pallas_enabled()
+        # ``pallas`` overrides the backend default: the sequence-sharded
+        # fused tail passes False (the greedy selector there runs as
+        # plain XLA ops so GSPMD can place it on a mesh).
+        use_psel = self._pallas_enabled() if pallas is None else pallas
 
         def post(f, work_true, peaks, k):
             # rows_pos = [p for p in sync_pos[:-1] if p + spr < work_true],

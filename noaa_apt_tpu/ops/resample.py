@@ -73,6 +73,18 @@ def _ceil_to_mult(x: int, q: int) -> int:
     return -(-x // q) * q
 
 
+# Rows per fixed-shape dot call in the matmul modes.  XLA's matmul
+# K-reduction tiling depends on the M (row-count) dimension — measured
+# on CPU: a [246, K] @ [K, N] product and a [27, K] @ [K, N] product of
+# the same data disagree in the last ulp — so evaluating a chunk-sized
+# and a full-length resample as single big dots is NOT bit-stable.
+# Instead both paths run the dot as a batch of fixed [BLOCK_ROWS, K]
+# blocks (batch count varies, inner shape never does; verified
+# batch-count-independent and equal to the standalone dot).  Sharded
+# chunks must start at block boundaries: see :func:`out_alignment`.
+BLOCK_ROWS = 64
+
+
 def _pack_factor(l: int, m: int, n_taps: int) -> int:
     """Windows per dot row for the packed matmul, or 1 when it does not
     apply.
@@ -99,12 +111,40 @@ def _pack_factor(l: int, m: int, n_taps: int) -> int:
     return j
 
 
+def _mode_for(l: int, m: int, n_taps: int) -> tuple[str, int]:
+    """(mode, j_pack) for an (l, m, taps) resample — shared by
+    :func:`resample_plan` and :func:`out_alignment` so the sharded
+    path's alignment always matches the mode actually compiled."""
+    t_max = (n_taps - 1 - 0) // l + 1  # taps per phase (upper bound)
+    packed_w = m + t_max + 2
+    if packed_w <= 512 or l <= 64:
+        # Matmul needs l > 1 (l == 1 conv output is already flat) and a
+        # block size big enough that the per-dot overhead amortizes.
+        mode = "matmul" if l > 1 and m >= 16 else "conv"
+        j_pack = 1
+        if mode == "matmul":
+            j_pack = _pack_factor(l, m, n_taps)
+            if j_pack > 1:
+                mode = "matmul_packed"
+        return mode, j_pack
+    return "gather", 1
+
+
 def out_alignment(l: int, m: int, n_taps: int) -> int:
     """Output-index granularity at which resample results are
     position-independent: chunked evaluation (parallel/shard.py) must
     start chunks at multiples of this so every f32 accumulation matches
-    the single-chip graph bit-for-bit."""
-    return _pack_factor(l, m, n_taps) * l if l > 1 else 1
+    the single-chip graph bit-for-bit.  For the matmul modes this is a
+    whole dot block (BLOCK_ROWS rows), so chunk-local blocking
+    coincides with the single-chip blocking."""
+    if l <= 1:
+        return 1
+    mode, j_pack = _mode_for(l, m, n_taps)
+    if mode == "matmul_packed":
+        return BLOCK_ROWS * j_pack * l
+    if mode == "matmul":
+        return BLOCK_ROWS * l
+    return l
 
 
 def resample_plan(n_in: int, l: int, m: int, coeff: np.ndarray, out_len: int | None = None) -> ResamplePlan:
@@ -118,19 +158,7 @@ def resample_plan(n_in: int, l: int, m: int, coeff: np.ndarray, out_len: int | N
     if out_len is None:
         # The reference iterates t = offset, offset+m, ... while t < interpolated_len.
         out_len = max(0, -(-(interpolated_len - offset) // m)) if interpolated_len > offset else 0
-    t_max = (len(coeff) - 1 - 0) // l + 1  # taps per phase (upper bound)
-    packed_w = m + t_max + 2
-    j_pack = 1
-    if packed_w <= 512 or l <= 64:
-        # Matmul needs l > 1 (l == 1 conv output is already flat) and a
-        # block size big enough that the per-dot overhead amortizes.
-        mode = "matmul" if l > 1 and m >= 16 else "conv"
-        if mode == "matmul":
-            j_pack = _pack_factor(l, m, len(coeff))
-            if j_pack > 1:
-                mode = "matmul_packed"
-    else:
-        mode = "gather"
+    mode, j_pack = _mode_for(l, m, len(coeff))
     return ResamplePlan(
         n_in, l, m, out_len, tuple(np.asarray(coeff, np.float32).tolist()), mode, j_pack
     )
@@ -208,17 +236,22 @@ def _fast_resample_matmul(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndarray:
         km[s_c[cc] : s_c[cc] + t_taps, cc] = bank[p_c[cc]]
 
     # Right-pad so every window exists (zeros = the reference's
-    # out-of-range skip) and the length is a multiple of m.
-    need = (n_per_class - 1 + nblk) * m
+    # out-of-range skip) and the length is a multiple of m.  Rows are
+    # processed in fixed [BLOCK_ROWS, m] blocks (batched dot): the
+    # inner dot shape never depends on the output length, so sharded
+    # chunks (whose chunk starts are BLOCK_ROWS*l-output aligned, see
+    # out_alignment) accumulate bit-identically to single-chip.
+    B = BLOCK_ROWS
+    nb = -(-n_per_class // B)
+    need = (nb * B - 1 + nblk) * m
     pad_to = max(need, -(-plan.n_in // m) * m)
     x = jnp.pad(x, (0, pad_to - plan.n_in))
     blocks = x.reshape(-1, m)
-    kmj = jnp.asarray(km)
     acc = None
     for b in range(nblk):
-        part = jnp.dot(
-            blocks[b : b + n_per_class],
-            kmj[b * m : (b + 1) * m],
+        seg = jax.lax.slice(blocks, (b, 0), (b + nb * B, m)).reshape(nb, B, m)
+        part = jnp.einsum(
+            "rbm,mc->rbc", seg, km[b * m : (b + 1) * m],
             precision=jax.lax.Precision.HIGHEST,
         )
         acc = part if acc is None else acc + part
@@ -261,12 +294,25 @@ def _fast_resample_matmul_packed(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndar
         rows = min(nblk * m, K - j * m)
         rhs[j * m : j * m + rows, j * l : (j + 1) * l] = km[:rows]
 
-    pad_to = (n_r + (1 if ov else 0)) * S
+    # Fixed-shape blocked dot (see BLOCK_ROWS): [nb, B, K] x [K, J*l]
+    # as ONE batched einsum — batch count varies with length, the
+    # per-block dot never does, keeping chunked evaluation bit-equal.
+    B = BLOCK_ROWS
+    nb = -(-n_r // B)
+    pad_to = (nb * B + (1 if ov else 0)) * S
     pad_to = max(pad_to, _ceil_to_mult(plan.n_in, S))
     x = jnp.pad(x, (0, pad_to - plan.n_in))
     a = x.reshape(-1, S)
-    lhs = jnp.concatenate([a[:n_r], a[1 : n_r + 1, :ov]], axis=1) if ov else a[:n_r]
-    y = jnp.dot(lhs, jnp.asarray(rhs), precision=jax.lax.Precision.HIGHEST)
+    n_rows = nb * B
+    lhs = (
+        jnp.concatenate([a[:n_rows], a[1 : n_rows + 1, :ov]], axis=1)
+        if ov
+        else a[:n_rows]
+    )
+    y = jnp.einsum(
+        "rbk,kc->rbc", lhs.reshape(nb, B, S + ov), rhs,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return y.reshape(-1)[:out_len]
 
 

@@ -258,6 +258,83 @@ class ShardedDecoder(Decoder):
         self._stage1[key] = entry
         return entry
 
+    # -- fused serving tail under the mesh -----------------------------
+    def _get_fused_render_sharded(
+        self, n_true_key: int, input_rate: Rate, kind: str, pct: float
+    ):
+        """ONE jit from the sharded raw recording to rendered u8 rows:
+        shard_map stage 1 (ring-halo SP) feeding the fused tail —
+        on-device greedy sync, row gather, contrast levels, u8 map —
+        in the same dispatch, so a single long recording gets both
+        sequence parallelism and the one-upload/one-fetch link profile
+        of the single-chip serving path (graph/decode.py:_fused_tail).
+
+        The tail runs as plain XLA ops on the global (GSPMD-resharded)
+        arrays: the greedy selector is the jump-form while_loop (the
+        Pallas kernel is not meshable), and XLA inserts the all-gather
+        of the sharded FIR output that the row gather needs."""
+        key = (
+            "sharded_fused", n_true_key, input_rate.get_hz(), kind,
+            np.float32(pct).tobytes(),
+        )
+        if key in self._stage1:
+            return self._stage1[key]
+        stage1, work_len_fn, guard, n_pad, work_pad = self._get_stage1_sharded(
+            n_true_key, input_rate
+        )
+        self._note_compile(key)
+        tail = self._fused_tail(work_pad, kind, pct, pallas=False)
+
+        @jax.jit
+        def step(x, work_true):
+            f, corr = stage1(x)
+            return tail(f, corr, work_true)
+
+        entry = (step, work_len_fn, n_pad)
+        self._stage1[key] = entry
+        return entry
+
+    def decode_render_input(
+        self,
+        signal,
+        n_true: int,
+        input_rate: Rate,
+        contrast_kind: str = "percent",
+        pct: float = 0.98,
+        fetch: bool = True,
+    ):
+        """Sharded counterpart of
+        :meth:`~noaa_apt_tpu.graph.decode.Decoder.decode_render_input`:
+        same contract (u8 rows + sync positions, or a
+        :class:`~noaa_apt_tpu.graph.decode.PendingRender` with
+        ``fetch=False``), byte-equal to the single-chip fused render
+        (tested), with stage 1 time-sharded over the mesh."""
+        from ..graph.decode import PendingRender, PendingRenderTelemetry
+
+        n_true = int(n_true)
+        step, work_len_fn, n_pad = self._get_fused_render_sharded(
+            pad_bucket(n_true), input_rate, contrast_kind, pct
+        )
+        work_true = work_len_fn(n_true)
+        if work_true < 10 * self.samples_per_work_row:
+            raise err.InternalError(
+                "Got less than 10 rows of samples, audio file is too short"
+            )
+        sharding = NamedSharding(self.mesh, P(self.axis))
+        if isinstance(signal, jax.Array):
+            if int(signal.shape[0]) != n_pad:
+                raise err.InternalError(
+                    f"pre-uploaded input is {int(signal.shape[0])}, expected {n_pad}"
+                )
+            x_dev = signal
+        else:
+            x = np.zeros(n_pad, dtype=np.float32)
+            x[:n_true] = signal
+            x_dev = jax.device_put(x, sharding)
+        cls = PendingRenderTelemetry if contrast_kind == "telemetry" else PendingRender
+        pending = cls(step(x_dev, np.int32(work_true)))
+        return pending.get() if fetch else pending
+
     # ------------------------------------------------------------------
     def decode(self, signal: np.ndarray, input_rate: Rate, sync: bool = True, context=None, host_work=None) -> DecodeResult:
         if host_work is not None:
