@@ -375,6 +375,30 @@ def main():
     compute_scan_ms = scan_wall / k_scan * 1e3
     compute_scan_x = duration_s / (scan_wall / k_scan)
 
+    # Memory-bandwidth roofline for the FIR/demod decode loop
+    # (BASELINE.md's stated deliverable).  Bytes-touched model for one
+    # pass of the fused graph, counting every HBM-materialized array
+    # once per producer/consumer (fused elementwise stages are free):
+    #   read raw i16 input                      n_pad * 2
+    #   write + read work signal (f32)          2 * w * 4
+    #   write filtered + write corr             2 * w * 4
+    #   read corr (selector) + read f (gather)  2 * w * 4
+    #   image rows: write f32 + ~3 contrast
+    #   reads + u8 write                        rows * 2080 * (4*4 + 1)
+    # The v5e HBM peak is 819 GB/s; roofline_frac ~ 1.0 would mean the
+    # engine is memory-bound at speed-of-light, lower means dispatch/
+    # latency-bound stages (the greedy selector's sequential jumps)
+    # still dominate.
+    w_pad_engine = pad_bucket(int(work_true_in))
+    bytes_per_pass = (
+        n_pad_in * 2
+        + 6 * w_pad_engine * 4
+        + resident_rows * 2080 * (4 * 4 + 1)
+    )
+    hbm_bw_achieved = bytes_per_pass / (scan_wall / k_scan)  # B/s
+    V5E_HBM_PEAK = 819e9
+    roofline_frac = hbm_bw_achieved / V5E_HBM_PEAK
+
     # -- 6. on-device input resample evidence (VERDICT r1 item 4): the
     # full device-ingest stage 1 (48 kHz polyphase matmul -> demod ->
     # FIR -> corr) with the raw i16 input already resident.
@@ -419,6 +443,10 @@ def main():
                     "device_ingest_stage1_ms": round(stage1_ms, 1),
                     "lines_per_sec_per_chip": round(lines_per_sec, 0),
                     "lines_per_sec_per_chip_pipelined": round(lines_per_sec_pipe, 0),
+                    # Achieved HBM bandwidth of the compute-scan path vs
+                    # the v5e 819 GB/s peak (bytes-touched model above).
+                    "hbm_bw_achieved_GBps": round(hbm_bw_achieved / 1e9, 1),
+                    "roofline_frac": round(roofline_frac, 3),
                 },
                 "fleet_rows": total_rows,
                 "stages_s": stages,
