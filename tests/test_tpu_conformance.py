@@ -178,3 +178,25 @@ def test_batched_selector_matches_unbatched_on_tpu():
             select_peaks_jit(jnp.asarray(corr[b]), int(n_valids[b]), spr, md, max_peaks)
         )
         assert pu[: int(ku)].tolist() == want, f"row {b} unbatched"
+
+
+@_skip_off_tpu
+def test_blocked_resample_matmul_batch_count_stable():
+    """The matmul resample modes run as batches of fixed [BLOCK_ROWS, K]
+    dot blocks; sharded chunks and the full-length graph differ only in
+    the batch count.  The TPU compiler must (like CPU, verified) give
+    bit-identical per-block results regardless of batch count, or the
+    sharded-equals-single-chip contract silently breaks on hardware."""
+    from noaa_apt_tpu.ops.resample import BLOCK_ROWS
+
+    rng = np.random.default_rng(0)
+    K, N, B = 3328, 416, BLOCK_ROWS
+    A = jnp.asarray(rng.standard_normal((40, B, K)).astype(np.float32))
+    Bm = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32))
+    hi = jax.lax.Precision.HIGHEST
+    f = jax.jit(lambda a, b: jnp.einsum("rbk,kc->rbc", a, b, precision=hi))
+    y_full = np.asarray(f(A, Bm))
+    y_sub = np.asarray(f(A[:5], Bm))
+    np.testing.assert_array_equal(y_full[:5], y_sub)
+    y_one = np.asarray(f(A[7:8], Bm))
+    np.testing.assert_array_equal(y_full[7:8], y_one)
