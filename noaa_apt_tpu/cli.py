@@ -440,11 +440,12 @@ def _run(args) -> int:
 
     from .types import ContrastKind
 
+    distributed = bool(args.distributed and args.distributed > 1)
     if (
         args.sync
         and not settings.export_wav
         and not args.raw_out
-        and not (args.distributed and args.distributed > 1)
+        and not (distributed and args.ingest != "device")
         and contrast.kind in (
             ContrastKind.PERCENT,
             ContrastKind.MINMAX,
@@ -455,12 +456,24 @@ def _run(args) -> int:
         # Fused low-round-trip path (decode through u8 levels in one
         # device graph; telemetry keeps the image resident while the
         # wedge math runs on host); colorize/overlay/rotate finish on
-        # the gray rows.
+        # the gray rows.  With --distributed N the same fused graph
+        # runs sequence-sharded over an N-chip mesh
+        # (parallel/shard.py:decode_render_input, byte-equal).
         from .graph.decode import Decoder
         from .graph.process import finish_image
         from PIL import Image
 
-        decoder_obj = Decoder(profile, ingest=args.ingest)
+        if distributed:
+            import jax
+            import numpy as np
+            from jax.sharding import Mesh
+
+            from .parallel import ShardedDecoder
+
+            mesh = Mesh(np.array(jax.devices()[: args.distributed]), ("seq",))
+            decoder_obj = ShardedDecoder(profile, mesh)
+        else:
+            decoder_obj = Decoder(profile, ingest=args.ingest)
         if contrast.kind == ContrastKind.PERCENT:
             levels = ("percent", contrast.percent)
         elif contrast.kind == ContrastKind.HISTOGRAM and color_settings is not None:

@@ -369,3 +369,28 @@ def test_stream_wav_placeholder_data_size(env, monkeypatch):
         ["-q", "test_11025hz.wav", "--raw-out", "off_p.npy", "-o", "offline_p.png"]
     ) == 0
     np.testing.assert_array_equal(np.load("st_p.npy"), np.load("off_p.npy"))
+
+
+def test_distributed_fused_cli_matches_single(env):
+    """--distributed N with the default device ingest now routes
+    through the sequence-sharded fused render; the PNG must be
+    byte-identical to the single-chip decode."""
+    from PIL import Image
+
+    assert inner_main(["-q", "test_11025hz.wav", "-o", "single.png"]) == 0
+    assert inner_main(
+        ["-q", "test_11025hz.wav", "--distributed", "4", "-o", "dist.png"]
+    ) == 0
+    a = np.asarray(Image.open("single.png"))
+    b = np.asarray(Image.open("dist.png"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_distributed_unfused_paths_still_work(env):
+    """--distributed combined with flags that bypass the fused path
+    (raw-out, host ingest) still decodes via ShardedDecoder.decode."""
+    assert inner_main(
+        ["-q", "test_11025hz.wav", "--distributed", "2", "--raw-out", "d.npy",
+         "-o", "dist2.png"]
+    ) == 0
+    assert Path("d.npy").exists()
