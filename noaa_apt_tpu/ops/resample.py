@@ -79,10 +79,51 @@ def _ceil_to_mult(x: int, q: int) -> int:
 # the same data disagree in the last ulp — so evaluating a chunk-sized
 # and a full-length resample as single big dots is NOT bit-stable.
 # Instead both paths run the dot as a batch of fixed [BLOCK_ROWS, K]
-# blocks (batch count varies, inner shape never does; verified
-# batch-count-independent and equal to the standalone dot).  Sharded
-# chunks must start at block boundaries: see :func:`out_alignment`.
+# blocks (batch count varies, inner shape never does).  Sharded chunks
+# must start at block boundaries: see :func:`out_alignment`.
+#
+# Backend split (the batch axis must not leak into the dot's codegen):
+# - CPU: a batched einsum — verified batch-count-independent and equal
+#   to the standalone [B, K] @ [K, N] dot.
+# - TPU: a Pallas kernel, grid over the batch axis.  XLA's batched dot
+#   (and even lax.map, whose trip-count-1 case gets unrolled and fused
+#   differently) is NOT batch-count stable on TPU; Mosaic compiles the
+#   kernel body once per BLOCK shape, so per-block results are
+#   grid-size-independent by construction.
 BLOCK_ROWS = 64
+
+
+def _blocked_dot(lhs3: jnp.ndarray, rhs) -> jnp.ndarray:
+    """[nb, B, K] x [K, N] -> [nb, B, N] f32 with per-block results
+    independent of nb (see BLOCK_ROWS).  ``rhs`` may be a host array."""
+    nb, B, K = lhs3.shape
+    rhs = jnp.asarray(rhs, jnp.float32)
+    N = rhs.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+    # The kernel keeps rhs + one lhs block + one out block in VMEM
+    # (~16 MB/core); exotic rate pairs with oversized kernels fall back
+    # to the einsum (never hit by the standard profile/rate matrix).
+    vmem_need = 4 * (B * K + K * N + B * N)
+    if jax.default_backend() == "tpu" and vmem_need <= 12 << 20:
+        from jax.experimental import pallas as pl
+
+        def kern(a_ref, b_ref, o_ref):
+            o_ref[:] = jnp.dot(
+                a_ref[0], b_ref[:], precision=hi,
+                preferred_element_type=jnp.float32,
+            )[None]
+
+        return pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, B, K), lambda i: (i, 0, 0)),
+                pl.BlockSpec((K, N), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, B, N), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nb, B, N), jnp.float32),
+        )(lhs3, rhs)
+    return jnp.einsum("rbk,kc->rbc", lhs3, rhs, precision=hi)
 
 
 def _pack_factor(l: int, m: int, n_taps: int) -> int:
@@ -250,10 +291,7 @@ def _fast_resample_matmul(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndarray:
     acc = None
     for b in range(nblk):
         seg = jax.lax.slice(blocks, (b, 0), (b + nb * B, m)).reshape(nb, B, m)
-        part = jnp.einsum(
-            "rbm,mc->rbc", seg, km[b * m : (b + 1) * m],
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        part = _blocked_dot(seg, km[b * m : (b + 1) * m])
         acc = part if acc is None else acc + part
     return acc.reshape(-1)[:out_len]
 
@@ -309,10 +347,7 @@ def _fast_resample_matmul_packed(x: jnp.ndarray, plan: ResamplePlan) -> jnp.ndar
         if ov
         else a[:n_rows]
     )
-    y = jnp.einsum(
-        "rbk,kc->rbc", lhs.reshape(nb, B, S + ov), rhs,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    y = _blocked_dot(lhs.reshape(nb, B, S + ov), rhs)
     return y.reshape(-1)[:out_len]
 
 

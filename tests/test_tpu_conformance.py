@@ -184,17 +184,19 @@ def test_batched_selector_matches_unbatched_on_tpu():
 def test_blocked_resample_matmul_batch_count_stable():
     """The matmul resample modes run as batches of fixed [BLOCK_ROWS, K]
     dot blocks; sharded chunks and the full-length graph differ only in
-    the batch count.  The TPU compiler must (like CPU, verified) give
-    bit-identical per-block results regardless of batch count, or the
-    sharded-equals-single-chip contract silently breaks on hardware."""
-    from noaa_apt_tpu.ops.resample import BLOCK_ROWS
+    the batch count.  On TPU that batch axis is a Pallas grid
+    (ops/resample.py:_blocked_dot) because XLA's batched dot — and even
+    lax.map, whose trip-count-1 case gets unrolled — is NOT batch-count
+    stable (measured).  This canary asserts the property the
+    sharded-equals-single-chip contract rests on, including the nb=1
+    edge that broke the XLA forms."""
+    from noaa_apt_tpu.ops.resample import BLOCK_ROWS, _blocked_dot
 
     rng = np.random.default_rng(0)
     K, N, B = 3328, 416, BLOCK_ROWS
-    A = jnp.asarray(rng.standard_normal((40, B, K)).astype(np.float32))
+    A = jnp.asarray(rng.standard_normal((12, B, K)).astype(np.float32))
     Bm = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32))
-    hi = jax.lax.Precision.HIGHEST
-    f = jax.jit(lambda a, b: jnp.einsum("rbk,kc->rbc", a, b, precision=hi))
+    f = jax.jit(_blocked_dot)
     y_full = np.asarray(f(A, Bm))
     y_sub = np.asarray(f(A[:5], Bm))
     np.testing.assert_array_equal(y_full[:5], y_sub)
