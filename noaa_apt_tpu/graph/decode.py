@@ -300,7 +300,7 @@ class PendingRenderTelemetryBatch:
             lows[b] = np.float32(low)
             highs[b] = np.float32(high)
             metas.append((nb, sync_pos))
-        u8 = jax.device_get(jax.vmap(Decoder._u8_stage)(imgs, lows, highs))
+        u8 = jax.device_get(jax.jit(jax.vmap(Decoder._u8_stage))(imgs, lows, highs))
         out = [
             m if isinstance(m, err.AptError) else (u8[b, : m[0]], m[1])
             for b, m in enumerate(metas)
@@ -555,7 +555,7 @@ class Decoder:
             w_pad = pad_bucket(work_true)
             buf = np.zeros(w_pad, dtype=work.dtype)
             buf[:work_true] = work
-            data = jax.device_put(jnp.asarray(buf))
+            data = jax.device_put(buf)
         return WorkPayload(data=data, work_true=work_true, inv_scale=inv_scale)
 
     def _ingest_filter(self, input_rate: Rate) -> LowpassDcRemoval:
@@ -923,7 +923,14 @@ class Decoder:
             # Per-element chain vmaps; the tail is natively batched so
             # the greedy selector stays a (batched) Pallas launch
             # instead of a vmapped while_loop (see _fused_tail).
+            # ``ys`` may be a tuple of B per-pass buffers: the stack
+            # then happens INSIDE the jit — an eager jnp.stack on the
+            # tunnel backend blocks ~0.5 s per call (eager ops are
+            # synchronous there), which dominated the fleet's dispatch
+            # wall once flush-on-idle made multiple grouped dispatches.
             def raw_step_batch(ys, inv_scales, work_trues):
+                if isinstance(ys, (list, tuple)):
+                    ys = jnp.stack(ys)
                 f, corr = jax.vmap(pre)(ys, inv_scales)
                 return tail(f, corr, work_trues)
 
@@ -1167,12 +1174,16 @@ class Decoder:
             buf[: p.work_true] = p.data
             return jnp.asarray(buf)
 
-        ys = jnp.stack([to_padded(payloads[b]) for b in src])
+        # Tuple of buffers + np arrays straight into the jit call: the
+        # stack runs in-graph and the scalars ride the call's own
+        # transfer — NO eager device ops in the dispatch path (each
+        # eager op blocks ~0.5 s through the tunnel backend).
+        ys = tuple(to_padded(payloads[b]) for b in src)
         inv_scales = np.asarray(
             [payloads[b].inv_scale if quantized else 1.0 for b in src], np.float32
         )
         work_trues = np.asarray([payloads[b].work_true for b in src], np.int32)
-        out = step(ys, jnp.asarray(inv_scales), jnp.asarray(work_trues))
+        out = step(ys, inv_scales, work_trues)
         if len(src) > n_live:
             out = tuple(a[:n_live] for a in out)
         pending = bcls(out, errors=errors or None)
@@ -1252,9 +1263,7 @@ class Decoder:
             n_pad, input_rate, contrast_kind, pct, in_dtype, batch=len(keep)
         )
         work_trues = np.asarray([work_len_fn(n_trues[b]) for b in keep], np.int32)
-        pending = bcls(
-            step(jnp.asarray(buf), jnp.asarray(work_trues)), errors=errors or None
-        )
+        pending = bcls(step(buf, work_trues), errors=errors or None)
         return pending.get() if fetch else pending
 
     # ------------------------------------------------------------------
