@@ -346,22 +346,21 @@ def decode_fleet(
             return
         t0 = time.time()
         try:
-            if len(group) == 1:
-                res_item, p_, name_, payload = group[0]
-                deferred = dec.decode_render(payload, *fused_levels, fetch=False)
-                res_item.device_s = time.time() - t0
-                res_item.seconds = res_item.device_s
-                to_encode.put((res_item, p_, name_, deferred))
-            else:
-                pend_b = dec.decode_render_batch(
-                    [g[3] for g in group], *fused_levels, fetch=False,
-                    pad_to=fleet_batch,
-                )
-                each = (time.time() - t0) / len(group)
-                for g in group:
-                    g[0].device_s = each
-                    g[0].seconds = each
-                to_encode.put(("group", [(g[0], g[1], g[2]) for g in group], pend_b))
+            # Even a 1-element group goes through the padded BATCHED
+            # graph: with flush-on-idle the group sizes vary run to
+            # run, and a lone pass hitting the (otherwise-uncompiled)
+            # unbatched variant mid-fleet costs a multi-second remote
+            # compile; padding to fleet_batch keeps exactly one jit
+            # variant per (bucket, contrast) at ~23 ms/slot of waste.
+            pend_b = dec.decode_render_batch(
+                [g[3] for g in group], *fused_levels, fetch=False,
+                pad_to=fleet_batch,
+            )
+            each = (time.time() - t0) / len(group)
+            for g in group:
+                g[0].device_s = each
+                g[0].seconds = each
+            to_encode.put(("group", [(g[0], g[1], g[2]) for g in group], pend_b))
         except Exception as e:  # noqa: BLE001 - group-level isolation
             for g in group:
                 g[0].error = str(e)
