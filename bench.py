@@ -232,15 +232,16 @@ def main():
     total_rows = 0
     ref_imgs: dict = {}
     fleet_psnr_db = None
-    # Median-of-3 (after a warmup): fleet walls vary run to run on this
-    # host (tunnel and 2-core CPU contention); the reported figure must
-    # be one the next invocation reproduces, not the best window ever
-    # caught.  Stage totals are taken from the median run so the
-    # per-stage attribution stays internally consistent.
+    # Median-of-5 (after a warmup): fleet walls vary run to run on this
+    # host (tunnel state swings the same mode's wall by 2-3x minute to
+    # minute); the reported figure must be one the next invocation
+    # reproduces, not the best window ever caught.  Stage totals are
+    # taken from the median run so the per-stage attribution stays
+    # internally consistent.
     for mode in ("device", "host16", "host", "host8"):
         run_fleet(mode)  # warmup (compiles, page cache)
         walls, stages_runs = [], []
-        for i in range(3):
+        for i in range(5 if mode != "device" else 3):
             t0 = time.time()
             run_fleet(mode)
             walls.append(time.time() - t0)

@@ -370,17 +370,19 @@ def decode_fleet(
     try:
         pending = len(paths)
         while pending:
-            # Flush-on-idle: with a non-empty group and no freshly
-            # loaded pass at hand, dispatch what we have instead of
-            # waiting for a full group — the batched graph is padded to
-            # ``fleet_batch`` either way (no recompile), batched compute
-            # costs ~23 ms/pass, and dispatching early lets device
-            # compute and result fetches overlap the remaining uploads.
-            # Waiting for a full batch serialized the whole fleet into
-            # upload-everything -> one dispatch -> one fetch (measured
-            # ~1 s of un-overlapped device+fetch wall on an 8-pass
-            # fleet whose uploads take ~3 s).
-            if group:
+            # Flush-on-idle: with at least half a batch in hand and no
+            # freshly loaded pass, dispatch instead of waiting for a
+            # full group — the batched graph is padded to
+            # ``fleet_batch`` either way (no recompile), batched
+            # compute costs ~23 ms/pass, and dispatching early lets
+            # device compute and result fetches overlap the remaining
+            # uploads.  Waiting for a full batch serialized the fleet
+            # into upload-everything -> one dispatch -> one fetch; but
+            # flushing every straggler is wrong too — on a tunnel link
+            # each dispatch's round trip queues behind in-flight upload
+            # bytes (~0.5-1 s when saturated), so tiny groups pay more
+            # in contended RPCs than they gain in overlap.
+            if group and len(group) * 2 >= fleet_batch:
                 try:
                     item = loaded.get(timeout=0.05)
                 except queue.Empty:
