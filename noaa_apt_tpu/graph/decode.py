@@ -231,11 +231,16 @@ class PendingRenderBatch:
 
     arrays: tuple  # (u8 [B,R,W], n_rows [B], peaks [B,P], k [B])
     errors: "dict[int, err.AptError] | None" = None  # pre-decode, by input index
+    # Live element count when the batch was padded to a fixed jit size
+    # (pad_to); trimming happens HERE, after the fetch — an eager
+    # device-array slice at dispatch time blocks on the tunnel backend.
+    n_live: "int | None" = None
 
     def get(self) -> list["tuple[np.ndarray, list[int]] | err.AptError"]:
         u8, n_rows, peaks, k = jax.device_get(self.arrays)
+        b_live = u8.shape[0] if self.n_live is None else self.n_live
         out: list = []
-        for b in range(u8.shape[0]):
+        for b in range(b_live):
             nb = int(n_rows[b])
             sync_pos = peaks[b, : int(k[b])].tolist()
             bad = _check_sync_count(sync_pos)
@@ -276,16 +281,21 @@ class PendingRenderTelemetryBatch:
 
     arrays: tuple  # (img [B,R,W], n_rows [B], peaks, k, ma, mb, var)
     errors: "dict[int, err.AptError] | None" = None  # pre-decode, by input index
+    n_live: "int | None" = None  # see PendingRenderBatch.n_live
 
     def get(self) -> list["tuple[np.ndarray, list[int]] | err.AptError"]:
         imgs = self.arrays[0]
         if int(imgs.shape[0]) == 0:
             return _splice_errors([], self.errors)
+        b_live = int(imgs.shape[0]) if self.n_live is None else self.n_live
         n_rows, peaks, k, ma, mb, var = jax.device_get(self.arrays[1:])
         metas: list = []
+        # Levels sized to the FULL (padded) batch: the u8 map below
+        # vmaps over the resident padded images; padded slots keep the
+        # 0/255 defaults and their outputs are simply never read.
         lows = np.zeros(imgs.shape[0], np.float32)
         highs = np.full(imgs.shape[0], 255.0, np.float32)
-        for b in range(imgs.shape[0]):
+        for b in range(b_live):
             nb = int(n_rows[b])
             sync_pos = peaks[b, : int(k[b])].tolist()
             bad = _check_sync_count(sync_pos)
@@ -985,7 +995,12 @@ class Decoder:
             return f, corr
 
         if batch:
+            # ``xs`` may be a tuple of B pre-uploaded buffers — the
+            # stack then runs in-graph (an eager stack blocks ~0.5 s
+            # through the tunnel backend; see decode_render_batch).
             def raw_step_batch(xs, work_trues):
+                if isinstance(xs, (list, tuple)):
+                    xs = jnp.stack(xs)
                 f, corr = jax.vmap(pre)(xs)
                 return tail(f, corr, work_trues)
 
@@ -1184,9 +1199,10 @@ class Decoder:
         )
         work_trues = np.asarray([payloads[b].work_true for b in src], np.int32)
         out = step(ys, inv_scales, work_trues)
-        if len(src) > n_live:
-            out = tuple(a[:n_live] for a in out)
-        pending = bcls(out, errors=errors or None)
+        pending = bcls(
+            out, errors=errors or None,
+            n_live=n_live if len(src) > n_live else None,
+        )
         return pending.get() if fetch else pending
 
     def decode_render_input_batch(
@@ -1197,6 +1213,7 @@ class Decoder:
         contrast_kind: str = "percent",
         pct: float = 0.98,
         fetch: bool = True,
+        pad_to: int | None = None,
     ) -> "list | PendingRenderBatch":
         """Batched serving fast path: one vmapped jit decodes B
         same-rate recordings in a single dispatch and a single fetch.
@@ -1253,17 +1270,50 @@ class Decoder:
                 tuple(np.zeros((0,) * 3, np.float32) for _ in range(4)),
                 errors=errors,
             )
+        src = list(keep)
+        if pad_to is not None and pad_to > len(keep):
+            # Pad the batch by repeating the last member so every group
+            # size shares ONE jit variant (same contract as
+            # decode_render_batch's pad_to; padding results dropped).
+            src += [keep[-1]] * (pad_to - len(keep))
+        if all(isinstance(signals[b], jax.Array) for b in keep):
+            # Pre-uploaded device buffers (fleet loaders): every member
+            # must already be padded to the shared bucket; the stack
+            # runs in-graph via the tuple form (no eager device ops).
+            for b in keep:
+                if int(signals[b].shape[0]) != n_pad:
+                    raise err.InternalError(
+                        f"pre-uploaded input is {int(signals[b].shape[0])}, "
+                        f"expected {n_pad}"
+                    )
+            in_dtype = np.dtype(str(signals[keep[0]].dtype)).type
+            step, work_len_fn = self._get_fused_render_input(
+                n_pad, input_rate, contrast_kind, pct, in_dtype, batch=len(src)
+            )
+            work_trues = np.asarray(
+                [work_len_fn(n_trues[b]) for b in src], np.int32
+            )
+            out = step(tuple(signals[b] for b in src), work_trues)
+            pending = bcls(
+                out, errors=errors or None,
+                n_live=len(keep) if len(src) > len(keep) else None,
+            )
+            return pending.get() if fetch else pending
         in_dtype = np.int16 if all(
             np.asarray(signals[b]).dtype == np.int16 for b in keep
         ) else np.float32
-        buf = np.zeros((len(keep), n_pad), dtype=in_dtype)
-        for j, b in enumerate(keep):
+        buf = np.zeros((len(src), n_pad), dtype=in_dtype)
+        for j, b in enumerate(src):
             buf[j, : n_trues[b]] = np.asarray(signals[b])[: n_trues[b]]
         step, work_len_fn = self._get_fused_render_input(
-            n_pad, input_rate, contrast_kind, pct, in_dtype, batch=len(keep)
+            n_pad, input_rate, contrast_kind, pct, in_dtype, batch=len(src)
         )
-        work_trues = np.asarray([work_len_fn(n_trues[b]) for b in keep], np.int32)
-        pending = bcls(step(buf, work_trues), errors=errors or None)
+        work_trues = np.asarray([work_len_fn(n_trues[b]) for b in src], np.int32)
+        out = step(buf, work_trues)
+        pending = bcls(
+            out, errors=errors or None,
+            n_live=len(keep) if len(src) > len(keep) else None,
+        )
         return pending.get() if fetch else pending
 
     # ------------------------------------------------------------------

@@ -334,10 +334,12 @@ def decode_fleet(
 
     results_by_idx: dict[int, PassResult] = {}
     # Grouped dispatch: consecutive same-(bucket, quantization) work
-    # payloads batch into ONE device dispatch (batched Pallas sync
-    # selector, 23 ms/pass at B=8) and ONE grouped fetch — per-pass
-    # dispatches each paid ~0.2 s of tunnel RPC on the dev link.
-    group: list = []  # [(res_item, path, out_name, WorkPayload)]
+    # payloads — or same-(bucket, rate) pre-uploaded RAW recordings
+    # (device ingest) — batch into ONE device dispatch (batched Pallas
+    # sync selector, 23 ms/pass at B=8) and ONE grouped fetch —
+    # per-pass dispatches each paid ~0.2 s of tunnel RPC on the dev
+    # link.
+    group: list = []  # [(res_item, path, out_name, WorkPayload | raw tuple, rate)]
     group_key = None
 
     def flush_group():
@@ -399,6 +401,12 @@ def decode_fleet(
             if load_err is not None:
                 res_item.error = load_err
                 continue
+            # Grouping applies to WORK payloads only: the work-domain
+            # batched graph is byte-equal to the unbatched one at any
+            # padded size, but the input-domain graph's vmapped
+            # polyphase (conv/gather modes included) shifts ulps with
+            # the batch size, so raw device-ingest passes keep per-pass
+            # dispatches (upload-bound anyway).
             if (
                 fused_levels is not None
                 and work is not None
@@ -408,7 +416,7 @@ def decode_fleet(
                 key = (pad_bucket(work.work_true), work.inv_scale is not None)
                 if group and key != group_key:
                     flush_group()
-                group.append((res_item, p, out_names[i], work))
+                group.append((res_item, p, out_names[i], work, rate))
                 group_key = key
                 if len(group) >= fleet_batch or pending == 0:
                     flush_group()

@@ -541,3 +541,49 @@ def test_fused_native_ingest_short_input():
     work = dec._host_ingest(sig, Rate(48000), exact=False)
     scale = np.float32(32767.0 / (float(np.max(np.abs(work))) or 1.0))
     np.testing.assert_array_equal(buf[:out_len], np.round(work * scale).astype(np.int16))
+
+
+def test_input_batch_pad_to_and_device_arrays():
+    """decode_render_input_batch accepts pre-uploaded (padded) device
+    buffers and a pad_to batch size.  Integer decisions (sync
+    positions, row counts) must match the unbatched render exactly;
+    pixel values are ulp-scoped across batch sizes (the vmapped
+    polyphase accumulates per batch shape), so images are compared at
+    tolerance here — serve's byte-exact grouping uses the work-domain
+    batch instead."""
+    import jax
+
+    from noaa_apt_tpu.graph.decode import pad_bucket
+
+    dec = Decoder(STANDARD)
+    sigs, trues, devs = [], [], []
+    for i, rows in enumerate((20, 16)):
+        s, _ = synth_recording(n_rows=rows, sample_rate=48000, noise_db=13.0, seed=i)
+        sigs.append(s.astype(np.float32))
+        trues.append(len(s))
+    n_pad = pad_bucket(max(trues))
+    for s in sigs:
+        buf = np.zeros(n_pad, np.float32)
+        buf[: len(s)] = s
+        devs.append(jax.device_put(buf))
+
+    got = dec.decode_render_input_batch(devs, trues, Rate(48000), pad_to=4)
+    assert len(got) == 2
+    for s, nt, out in zip(sigs, trues, got):
+        want_gray, want_sync = dec.decode_render_input(s, nt, Rate(48000))
+        gray, sync_pos = out
+        assert sync_pos == want_sync
+        assert gray.shape == want_gray.shape
+        # <= 1 u8 LSB anywhere (knife-edge rounding under ulp shifts).
+        assert np.abs(gray.astype(int) - want_gray.astype(int)).max() <= 1
+
+    # Mismatched pre-upload length is rejected.
+    import pytest as _pytest
+
+    from noaa_apt_tpu import err as _err
+
+    with _pytest.raises(_err.InternalError, match="pre-uploaded"):
+        dec.decode_render_input_batch(
+            [jax.device_put(np.zeros(n_pad // 2, np.float32))], [trues[0]],
+            Rate(48000),
+        )
