@@ -185,23 +185,9 @@ def main():
 
     single_host = duration_s / _time_runs(run_host, 2, 3, "single/host-ingest")
 
-    # -- 2. single pass, fully device-resident ingest (raw i16 upload) --
-    dec_dev = Decoder(STANDARD, ingest="device")
-
-    def run_device():
-        res = dec_dev.decode(signal, rate, sync=True)
-        return process(res, contrast, Rotate.NO, decoder=dec_dev)
-
-    single_device = duration_s / _time_runs(run_device, 2, 3, "single/device-ingest")
-
-    # -- 3. link bandwidth probe (30 MB, the host-ingest upload size) --
-    # The probe only needs the right byte count — no reason to run a
-    # full polyphase resample for a length.
     work_len = len(signal) * STANDARD.work_rate // SAMPLE_RATE
-    up_mbps, down_mbps = _link_probe(work_len * 4)
-    log(f"link: upload {up_mbps:.1f} MB/s, fetch {down_mbps:.1f} MB/s")
 
-    # -- 4. fleet throughput through the serving pipeline --------------
+    # -- 2. fleet throughput through the serving pipeline --------------
     # Four ingest modes: "device" uploads the raw i16 recording and
     # runs the whole pipeline (polyphase included) in one fused device
     # graph — zero host DSP; "host16"/"host" pre-resample on the host
@@ -238,7 +224,13 @@ def main():
     # reproduces, not the best window ever caught.  Stage totals are
     # taken from the median run so the per-stage attribution stays
     # internally consistent.
-    for mode in ("device", "host16", "host", "host8"):
+    # Mode order: lightest-upload modes first.  The tunnel's throughput
+    # degrades under sustained load and recovers slowly; running the
+    # 460 MB-per-trial "device" mode first was measured to depress the
+    # following modes' walls by 2-3x ("host16" medians 5.0 s vs 7-17 s
+    # depending on how much device-mode traffic preceded them).  "host"
+    # must still run before "host8" (it produces the PSNR reference).
+    for mode in ("host16", "host", "host8", "device"):
         run_fleet(mode)  # warmup (compiles, page cache)
         walls, stages_runs = [], []
         for i in range(5 if mode != "device" else 3):
@@ -296,6 +288,24 @@ def main():
     fleet_wall = wall_by_mode[best_mode]
     stages = stages_by_mode[best_mode]
     down_bytes = total_rows * 2080
+
+    # -- 3. single pass, fully device-resident ingest (raw i16 upload).
+    # Runs AFTER the fleet section on purpose: its 57 MB-per-run
+    # uploads are part of the sustained-load pattern that degrades the
+    # tunnel for minutes (see the fleet mode ordering above).
+    dec_dev = Decoder(STANDARD, ingest="device")
+
+    def run_device():
+        res = dec_dev.decode(signal, rate, sync=True)
+        return process(res, contrast, Rotate.NO, decoder=dec_dev)
+
+    single_device = duration_s / _time_runs(run_device, 2, 3, "single/device-ingest")
+
+    # -- 4. link bandwidth probe (30 MB, the host-ingest upload size) --
+    # The probe only needs the right byte count — no reason to run a
+    # full polyphase resample for a length.
+    up_mbps, down_mbps = _link_probe(work_len * 4)
+    log(f"link: upload {up_mbps:.1f} MB/s, fetch {down_mbps:.1f} MB/s")
     predicted_wall = (
         up_bytes_by_mode[best_mode] / 1e6 / up_mbps + down_bytes / 1e6 / down_mbps
     )
