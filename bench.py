@@ -461,6 +461,11 @@ def main():
                 },
                 "fleet_rows": total_rows,
                 "stages_s": stages,
+                # Same per-stage split for every mode's median run (the
+                # top-level stages_s is the best mode's) — makes the
+                # bottleneck visible for the byte-faithful modes even
+                # when a lossy mode takes the headline.
+                "fleet_stages_by_mode": stages_by_mode,
                 "link": {
                     "upload_MBps": round(up_mbps, 1),
                     "fetch_MBps": round(down_mbps, 1),
