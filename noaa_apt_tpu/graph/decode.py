@@ -408,10 +408,11 @@ class Decoder:
         """The fused demod+FIR+corr stage for the TPU fast path, or
         None for the portable op chain.
 
-        Default is the banded-MXU-matmul form (ops/banded_chain.py —
-        under the measurement floor per pass); ``chain_impl="pallas"``
-        selects the VPU Pallas kernel (ops/pallas_stage.py, ~2.5 ms)
-        for cross-checking."""
+        Default is the banded-MXU-matmul form (ops/banded_chain.py);
+        ``chain_impl="pallas"`` selects the VPU Pallas kernel
+        (ops/pallas_stage.py) for cross-checking.  Round-4 A/B on the
+        full fused graph: banded 11.2 ms/pass vs pallas 12.7 (lax.scan
+        over 8 resident 10-min passes), so banded stays the default."""
         if not self._pallas_enabled():
             return None
         carrier, demod_coeff, template = self._chain_params()

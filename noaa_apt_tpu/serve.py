@@ -334,12 +334,14 @@ def decode_fleet(
 
     results_by_idx: dict[int, PassResult] = {}
     # Grouped dispatch: consecutive same-(bucket, quantization) work
-    # payloads — or same-(bucket, rate) pre-uploaded RAW recordings
-    # (device ingest) — batch into ONE device dispatch (batched Pallas
-    # sync selector, 23 ms/pass at B=8) and ONE grouped fetch —
-    # per-pass dispatches each paid ~0.2 s of tunnel RPC on the dev
-    # link.
-    group: list = []  # [(res_item, path, out_name, WorkPayload | raw tuple, rate)]
+    # payloads batch into ONE device dispatch (batched Pallas sync
+    # selector, 23 ms/pass at B=8) and ONE grouped fetch — per-pass
+    # dispatches each paid ~0.2 s of tunnel RPC on the dev link.
+    # Raw device-ingest recordings are NOT grouped (see the key check
+    # below): the input-domain vmapped polyphase shifts ulps with the
+    # batch size, which would break byte-equality with the single-pass
+    # CLI output.
+    group: list = []  # [(res_item, path, out_name, WorkPayload, rate)]
     group_key = None
 
     def flush_group():
