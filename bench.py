@@ -187,7 +187,16 @@ def main():
 
     work_len = len(signal) * STANDARD.work_rate // SAMPLE_RATE
 
-    # -- 2. fleet throughput through the serving pipeline --------------
+    # -- 2. link bandwidth probe (30 MB, the host-ingest upload size).
+    # BEFORE the fleet section on purpose: the headline modes run
+    # first, and predicted_min_wall_s must reflect the link state THEY
+    # saw — probing after the heavy-upload sections was measured to
+    # understate the link 2-3x and misattribute the fleet as
+    # link-bound.
+    up_mbps, down_mbps = _link_probe(work_len * 4)
+    log(f"link: upload {up_mbps:.1f} MB/s, fetch {down_mbps:.1f} MB/s")
+
+    # -- 3. fleet throughput through the serving pipeline --------------
     # Four ingest modes: "device" uploads the raw i16 recording and
     # runs the whole pipeline (polyphase included) in one fused device
     # graph — zero host DSP; "host16"/"host" pre-resample on the host
@@ -289,7 +298,7 @@ def main():
     stages = stages_by_mode[best_mode]
     down_bytes = total_rows * 2080
 
-    # -- 3. single pass, fully device-resident ingest (raw i16 upload).
+    # -- 4. single pass, fully device-resident ingest (raw i16 upload).
     # Runs AFTER the fleet section on purpose: its 57 MB-per-run
     # uploads are part of the sustained-load pattern that degrades the
     # tunnel for minutes (see the fleet mode ordering above).
@@ -301,11 +310,6 @@ def main():
 
     single_device = duration_s / _time_runs(run_device, 2, 3, "single/device-ingest")
 
-    # -- 4. link bandwidth probe (30 MB, the host-ingest upload size) --
-    # The probe only needs the right byte count — no reason to run a
-    # full polyphase resample for a length.
-    up_mbps, down_mbps = _link_probe(work_len * 4)
-    log(f"link: upload {up_mbps:.1f} MB/s, fetch {down_mbps:.1f} MB/s")
     predicted_wall = (
         up_bytes_by_mode[best_mode] / 1e6 / up_mbps + down_bytes / 1e6 / down_mbps
     )

@@ -143,13 +143,6 @@ def inner_main(argv=None) -> int:
 
 
 def _run(args) -> int:
-    # First-run UX: a cold TPU compile of the decode graph can take
-    # minutes; the persistent cache makes every later invocation of the
-    # same (length-bucket, rate) variant load in seconds.
-    from .io.jaxcache import enable_persistent_compile_cache, warm_link_async
-
-    enable_persistent_compile_cache()
-    warm_link_async()
     de = cfg.load_de_settings()
 
     if args.version:
@@ -174,6 +167,17 @@ def _run(args) -> int:
 
         gui.main(bool(de.get("check_updates", False)), settings)
         return 0
+
+    # First-run UX, for the modes that actually touch the accelerator
+    # (decode/resample — NOT --version or the GUI launcher, which must
+    # not claim a device session they may never use; the GUI warms
+    # itself in a background thread): the persistent cache makes every
+    # later invocation of the same (length-bucket, rate) graph variant
+    # load in seconds, and the link handshake overlaps load/compile.
+    from .io.jaxcache import enable_persistent_compile_cache, warm_link_async
+
+    enable_persistent_compile_cache()
+    warm_link_async()
 
     if args.resample is not None:
         from .graph import resample_tool

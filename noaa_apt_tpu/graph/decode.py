@@ -1287,7 +1287,13 @@ class Decoder:
                         f"pre-uploaded input is {int(signals[b].shape[0])}, "
                         f"expected {n_pad}"
                     )
-            in_dtype = np.dtype(str(signals[keep[0]].dtype)).type
+            dtypes = {str(signals[b].dtype) for b in keep}
+            if len(dtypes) != 1:
+                raise err.InternalError(
+                    f"pre-uploaded batch mixes dtypes {sorted(dtypes)}; "
+                    "upload every member as the same type"
+                )
+            in_dtype = np.dtype(dtypes.pop()).type
             step, work_len_fn = self._get_fused_render_input(
                 n_pad, input_rate, contrast_kind, pct, in_dtype, batch=len(src)
             )

@@ -142,11 +142,17 @@ class App:
 
     def __init__(self, check_updates: bool, settings) -> None:
         # Decode-button UX: persist compiled TPU graphs across app runs
-        # so only the very first decode of a shape/rate pays the compile.
-        from ..io.jaxcache import enable_persistent_compile_cache, warm_link_async
+        # and start the device-link handshake — in a daemon thread, so
+        # the window appears without waiting for the jax import.
+        import threading
 
-        enable_persistent_compile_cache()
-        warm_link_async()
+        def _warm_backend():
+            from ..io.jaxcache import enable_persistent_compile_cache, warm_link_async
+
+            enable_persistent_compile_cache()
+            warm_link_async()
+
+        threading.Thread(target=_warm_backend, daemon=True, name="gui-warmup").start()
         self.root = tk.Tk()
         self.root.title("noaa-apt")
         self.root.geometry("1000x640")

@@ -39,6 +39,7 @@ out-of-range skip (``dsp.rs:256-263`` treats missing samples as 0).
 
 from __future__ import annotations
 
+import logging
 import math
 from dataclasses import dataclass
 from functools import partial
@@ -46,6 +47,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_log = logging.getLogger(__name__)
 
 
 @dataclass(frozen=True)
@@ -90,6 +93,14 @@ def _ceil_to_mult(x: int, q: int) -> int:
 #   differently) is NOT batch-count stable on TPU; Mosaic compiles the
 #   kernel body once per BLOCK shape, so per-block results are
 #   grid-size-independent by construction.
+#
+# Size tradeoff: 64 rows keeps the MXU M-tile respectable, but it also
+# multiplies out_alignment — sharded/streamed chunks recompute up to
+# one whole block of left context (e.g. ~53k work samples at
+# 48 kHz/standard, ~8 image rows).  That is <1 ms of device work per
+# chunk and ~5% of a fleet-scale per-device chunk, paid for exact
+# bit-equality; a smaller block would shrink the context at the cost
+# of thin dots in the ingest hot path.
 BLOCK_ROWS = 64
 
 
@@ -104,6 +115,20 @@ def _blocked_dot(lhs3: jnp.ndarray, rhs) -> jnp.ndarray:
     # (~16 MB/core); exotic rate pairs with oversized kernels fall back
     # to the einsum (never hit by the standard profile/rate matrix).
     vmem_need = 4 * (B * K + K * N + B * N)
+    if jax.default_backend() == "tpu" and vmem_need > 12 << 20:
+        # The einsum fallback below is NOT batch-count stable on TPU,
+        # so chunked (sharded/streamed) evaluation of such a rate pair
+        # is only ulp-close to single-chip, not bit-identical.  No
+        # standard (rate, profile) combination reaches this size
+        # (_pack_factor caps the packed kernel; the plain-matmul mode
+        # has K = m); warn loudly rather than silently downgrade the
+        # bit-equality contract.
+        _log.warning(
+            "resample kernel %dx%d exceeds the Pallas VMEM budget; "
+            "falling back to a batch-shape-sensitive dot — sharded/"
+            "streamed decode of this rate pair is not bit-identical "
+            "to single-chip on TPU", K, N,
+        )
     if jax.default_backend() == "tpu" and vmem_need <= 12 << 20:
         from jax.experimental import pallas as pl
 

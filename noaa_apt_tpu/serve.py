@@ -341,7 +341,7 @@ def decode_fleet(
     # below): the input-domain vmapped polyphase shifts ulps with the
     # batch size, which would break byte-equality with the single-pass
     # CLI output.
-    group: list = []  # [(res_item, path, out_name, WorkPayload, rate)]
+    group: list = []  # [(res_item, path, out_name, WorkPayload)]
     group_key = None
 
     def flush_group():
@@ -418,7 +418,7 @@ def decode_fleet(
                 key = (pad_bucket(work.work_true), work.inv_scale is not None)
                 if group and key != group_key:
                     flush_group()
-                group.append((res_item, p, out_names[i], work, rate))
+                group.append((res_item, p, out_names[i], work))
                 group_key = key
                 if len(group) >= fleet_batch or pending == 0:
                     flush_group()
