@@ -394,3 +394,32 @@ def test_distributed_unfused_paths_still_work(env):
          "-o", "dist2.png"]
     ) == 0
     assert Path("d.npy").exists()
+
+
+def test_version_does_not_touch_the_accelerator(env):
+    """--version must not warm the accelerator (a device claim
+    through the tunnel backend can take minutes and can disturb
+    another process's session); the backend warms only for
+    decode/resample modes.  Asserted on our warmup module rather than
+    jax itself: this machine's site config imports jax in every
+    interpreter."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; from noaa_apt_tpu.cli import inner_main;"
+         "rc = inner_main(['-v']);"
+         "assert 'noaa_apt_tpu.io.jaxcache' not in sys.modules, "
+         "'accelerator warmup ran for --version';"
+         "sys.exit(rc)"],
+        capture_output=True, text=True, timeout=120,
+        env={
+            **os.environ,
+            "XDG_CONFIG_HOME": str(env / "cfg"),
+            "PYTHONPATH": str(Path(__file__).resolve().parent.parent)
+            + os.pathsep
+            + os.environ.get("PYTHONPATH", ""),
+        },
+    )
+    assert r.returncode == 0, r.stderr

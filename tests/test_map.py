@@ -299,3 +299,31 @@ def test_palette_generation(tmp_path):
     from PIL import Image
 
     assert Image.open(p).size == (256, 256)
+
+
+def test_states_download_corrupt_archive_degrades(tmp_path, monkeypatch):
+    """A download that yields a zip without a .shp member (or garbage)
+    must warn and skip, not crash the decode, and must trip the
+    per-process failure memo."""
+    import io as _io
+    import urllib.request
+
+    from noaa_apt_tpu.geo import states as st
+
+    monkeypatch.setenv("NOAA_APT_RES_DIR", str(tmp_path / "res"))
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "cfg"))
+    monkeypatch.setattr(st, "_download_failed", [False])
+    (tmp_path / "res" / "shapefiles").mkdir(parents=True)
+    monkeypatch.setattr(
+        urllib.request, "urlopen", lambda url, timeout=0: _io.BytesIO(b"not a zip")
+    )
+    assert st.get_states_shp() is None
+    assert st._download_failed[0] is True
+    # And the memo suppresses further attempts.
+    calls = []
+    monkeypatch.setattr(
+        urllib.request, "urlopen",
+        lambda url, timeout=0: calls.append(url) or _io.BytesIO(b""),
+    )
+    assert st.get_states_shp() is None
+    assert calls == []
