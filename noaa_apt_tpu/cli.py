@@ -274,6 +274,12 @@ def _run(args) -> int:
     elif args.map not in (None, "no"):
         print("Invalid map argument")
         return 0
+    if draw_map is not None:
+        # One-time states.shp acquisition overlaps the decode instead
+        # of stalling it at overlay time (geo/states.py).
+        from .geo.states import prefetch_states_async
+
+        prefetch_states_async()
 
     orbit_settings = None
     if sat_name is not None and ref_time is not None:

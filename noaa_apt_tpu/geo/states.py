@@ -8,14 +8,21 @@ asks this module for the file: vendored copy first, then a per-user
 disk cache, then a one-time download from Natural Earth (public
 domain), cached forever — the same acquire-with-disk-cache pattern as
 the TLE fetch (``geo/tle.py``, mirroring ``misc.rs:388-484``).
-Offline hosts simply skip the layer with a warning, like the
-reference skips a missing shapefile.
+Offline hosts skip the layer with a warning — deliberately SOFTER than
+the reference, which fails the whole decode with ``Error::Internal``
+when a shapefile is missing (``map.rs:135-137`` unwraps the open via
+``?``): a missing optional overlay layer should not kill a decode.
+
+Entry points that know a map overlay is coming can call
+:func:`prefetch_states_async` so the download (bounded by a 15 s
+timeout) overlaps decode instead of stalling the decode/GUI thread.
 """
 
 from __future__ import annotations
 
 import io
 import logging
+import threading
 import zipfile
 from pathlib import Path
 from typing import Optional
@@ -35,6 +42,7 @@ URL = (
 # pass (a fleet run over an offline link would otherwise pay one
 # timeout + warning per recording).
 _download_failed = [False]
+_dl_lock = threading.Lock()
 
 
 def download_states_shp(dest: Path) -> Path:
@@ -43,7 +51,10 @@ def download_states_shp(dest: Path) -> Path:
     from urllib.request import urlopen
 
     log.info("Downloading states overlay layer from %s", URL)
-    blob = urlopen(URL, timeout=120).read()
+    # 15 s, not minutes: this can run on the decode (or GUI) thread, so
+    # a half-open connection must fail fast into the skip-layer path
+    # (ADVICE r4); slow-but-healthy hosts can prefetch asynchronously.
+    blob = urlopen(URL, timeout=15).read()
     with zipfile.ZipFile(io.BytesIO(blob)) as z:
         members = [n for n in z.namelist() if n.endswith(".shp")]
         if not members:
@@ -55,6 +66,25 @@ def download_states_shp(dest: Path) -> Path:
     tmp.replace(dest)
     log.info("Cached states.shp at %s (%d bytes)", dest, len(data))
     return dest
+
+
+_prefetch_thread = [None]
+
+
+def prefetch_states_async() -> None:
+    """Resolve (and, if needed, download) states.shp in a daemon thread.
+
+    Call at entry-point startup when a map overlay is requested so the
+    one-time download overlaps WAV load/decode instead of stalling the
+    decode thread (the ``warm_link_async`` pattern).  Idempotent; any
+    failure is memoized exactly as in the synchronous path."""
+    if _prefetch_thread[0] is not None:
+        return
+    import threading
+
+    t = threading.Thread(target=get_states_shp, daemon=True, name="states-prefetch")
+    _prefetch_thread[0] = t
+    t.start()
 
 
 def get_states_shp(allow_download: bool = True) -> Optional[Path]:
@@ -72,7 +102,12 @@ def get_states_shp(allow_download: bool = True) -> Optional[Path]:
     if not allow_download or _download_failed[0]:
         return None
     try:
-        return download_states_shp(cached)
+        with _dl_lock:
+            # The prefetch thread and a decode thread can race here;
+            # whoever wins downloads, the other sees the cached file.
+            if cached.exists():
+                return cached
+            return download_states_shp(cached)
     except Exception as e:  # noqa: BLE001 — offline/404 must not kill a decode
         _download_failed[0] = True  # don't re-try (and re-warn) every pass
         log.warning(

@@ -28,6 +28,7 @@ import numpy as np
 
 from .. import CARRIER_FREQ, FINAL_RATE, PX_PER_ROW, err
 from ..core import Lowpass, LowpassDcRemoval
+from ..io import link as link_io
 from ..core.frequency import Freq, Rate
 from ..core.profiles import DecodeProfile
 from ..ops import demod as dm
@@ -222,6 +223,18 @@ def _splice_errors(dev_results: list, errors) -> list:
     return [errors[b] if b in errors else next(it) for b in range(total)]
 
 
+_u8_batch_jit = None
+
+
+def _u8_batch_stage():
+    """Lazily-built module-level ``jit(vmap(_u8_stage))`` shared by all
+    telemetry group fetches (the trace cache must outlive one call)."""
+    global _u8_batch_jit
+    if _u8_batch_jit is None:
+        _u8_batch_jit = jax.jit(jax.vmap(Decoder._u8_stage))
+    return _u8_batch_jit
+
+
 @dataclass
 class PendingRenderBatch:
     """A dispatched-but-not-fetched BATCH of fused renders (one vmapped
@@ -232,13 +245,18 @@ class PendingRenderBatch:
     arrays: tuple  # (u8 [B,R,W], n_rows [B], peaks [B,P], k [B])
     errors: "dict[int, err.AptError] | None" = None  # pre-decode, by input index
     # Live element count when the batch was padded to a fixed jit size
-    # (pad_to); trimming happens HERE, after the fetch — an eager
-    # device-array slice at dispatch time blocks on the tunnel backend.
+    # (pad_to); trimming happens HERE, not at dispatch time — an eager
+    # device-array slice at dispatch time blocks on the tunnel backend,
+    # while here it runs on the fetch thread and (sliced BEFORE the
+    # fetch) keeps padded slots' bytes off the wire entirely.
     n_live: "int | None" = None
 
     def get(self) -> list["tuple[np.ndarray, list[int]] | err.AptError"]:
-        u8, n_rows, peaks, k = jax.device_get(self.arrays)
-        b_live = u8.shape[0] if self.n_live is None else self.n_live
+        arrays = self.arrays
+        if self.n_live is not None and self.n_live < int(arrays[0].shape[0]):
+            arrays = tuple(a[: self.n_live] for a in arrays)
+        u8, n_rows, peaks, k = link_io.fetch(arrays)
+        b_live = u8.shape[0]
         out: list = []
         for b in range(b_live):
             nb = int(n_rows[b])
@@ -262,7 +280,7 @@ class PendingRender:
     arrays: tuple  # (u8, n_rows, peaks, k) device arrays
 
     def get(self) -> tuple[np.ndarray, list[int]]:
-        u8, n_rows, peaks, k = jax.device_get(self.arrays)
+        u8, n_rows, peaks, k = link_io.fetch(self.arrays)
         n_rows = int(n_rows)
         sync_pos = peaks[: int(k)].tolist()
         bad = _check_sync_count(sync_pos)
@@ -288,7 +306,10 @@ class PendingRenderTelemetryBatch:
         if int(imgs.shape[0]) == 0:
             return _splice_errors([], self.errors)
         b_live = int(imgs.shape[0]) if self.n_live is None else self.n_live
-        n_rows, peaks, k, ma, mb, var = jax.device_get(self.arrays[1:])
+        small = self.arrays[1:]
+        if b_live < int(imgs.shape[0]):
+            small = tuple(a[:b_live] for a in small)
+        n_rows, peaks, k, ma, mb, var = link_io.fetch(small)
         metas: list = []
         # Levels sized to the FULL (padded) batch: the u8 map below
         # vmaps over the resident padded images; padded slots keep the
@@ -310,7 +331,15 @@ class PendingRenderTelemetryBatch:
             lows[b] = np.float32(low)
             highs[b] = np.float32(high)
             metas.append((nb, sync_pos))
-        u8 = jax.device_get(jax.jit(jax.vmap(Decoder._u8_stage))(imgs, lows, highs))
+        # Module-level jitted vmap (not rebuilt per call): rebuilding
+        # the wrapper re-traced the u8 stage on every group fetch —
+        # only the XLA compile was cached (ADVICE r4).  Padded slots
+        # compute (cheap) but slice off BEFORE the fetch so their
+        # bytes never cross the link.
+        u8_dev = _u8_batch_stage()(imgs, lows, highs)
+        if b_live < int(imgs.shape[0]):
+            u8_dev = u8_dev[:b_live]
+        u8 = link_io.fetch(u8_dev)
         out = [
             m if isinstance(m, err.AptError) else (u8[b, : m[0]], m[1])
             for b, m in enumerate(metas)
@@ -336,7 +365,7 @@ class PendingRenderTelemetry:
 
     def get(self) -> tuple[np.ndarray, list[int]]:
         img = self.arrays[0]
-        n_rows, peaks, k, ma, mb, var = jax.device_get(self.arrays[1:])
+        n_rows, peaks, k, ma, mb, var = link_io.fetch(self.arrays[1:])
         n_rows = int(n_rows)
         sync_pos = peaks[: int(k)].tolist()
         bad = _check_sync_count(sync_pos)
@@ -344,7 +373,7 @@ class PendingRenderTelemetry:
             raise bad
         low, high = _telemetry_levels(ma[:n_rows], mb[:n_rows], var[:n_rows])
         u8 = Decoder._u8_stage(img, np.float32(low), np.float32(high))
-        return np.asarray(u8[:n_rows]), sync_pos
+        return link_io.fetch(u8[:n_rows]), sync_pos
 
 
 class Decoder:
@@ -536,7 +565,7 @@ class Decoder:
                 )
                 if fused is not None:
                     buf, inv_scale = fused
-                    data = jax.device_put(buf) if to_device else buf[:out_len]
+                    data = link_io.upload(buf) if to_device else buf[:out_len]
                     return WorkPayload(
                         data=data, work_true=out_len, inv_scale=inv_scale
                     )
@@ -566,7 +595,7 @@ class Decoder:
             w_pad = pad_bucket(work_true)
             buf = np.zeros(w_pad, dtype=work.dtype)
             buf[:work_true] = work
-            data = jax.device_put(buf)
+            data = link_io.upload(buf)
         return WorkPayload(data=data, work_true=work_true, inv_scale=inv_scale)
 
     def _ingest_filter(self, input_rate: Rate) -> LowpassDcRemoval:

@@ -36,12 +36,44 @@ def enable_persistent_compile_cache(directory: os.PathLike | None = None) -> boo
     already set by the caller (e.g. tests pin a repo-local dir).
     """
     global _enabled
-    if _enabled:
-        return True
     import jax
+
+    if _enabled:
+        if directory is not None:
+            # An explicit request after the cache is live: honor it by
+            # repointing (the cache dir is read per-compile, so this is
+            # safe mid-process) instead of silently keeping the first
+            # caller's directory (ADVICE r4).
+            try:
+                active = jax.config.jax_compilation_cache_dir
+            except AttributeError:
+                active = None
+            d = Path(directory)
+            if active and str(d) != str(active):
+                try:
+                    d.mkdir(parents=True, exist_ok=True)
+                    jax.config.update("jax_compilation_cache_dir", str(d))
+                    log.info(
+                        "persistent XLA compile cache repointed %s -> %s",
+                        active, d,
+                    )
+                except Exception as e:  # noqa: BLE001 - optimization only
+                    log.info(
+                        "keeping persistent compile cache at %s "
+                        "(could not repoint to %s: %s)", active, d, e,
+                    )
+        return True
 
     try:
         if jax.config.jax_compilation_cache_dir:
+            if directory is not None and str(Path(directory)) != str(
+                jax.config.jax_compilation_cache_dir
+            ):
+                log.info(
+                    "persistent compile cache already at %s; explicit "
+                    "request for %s ignored (caller-pinned directory wins)",
+                    jax.config.jax_compilation_cache_dir, directory,
+                )
             _enabled = True  # caller already configured one; leave it
             return True
     except AttributeError:

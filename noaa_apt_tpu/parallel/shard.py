@@ -60,6 +60,11 @@ class ShardedDecoder(Decoder):
         self.mesh = mesh
         self.axis = axis
         self.n_dev = mesh.shape[axis]
+        # False when a compiled rate pair's resample had to fall back
+        # to the batch-shape-sensitive dot (ResamplePlan.chunk_bit_stable)
+        # — callers relying on sharded==single-chip byte equality must
+        # check this.
+        self.chunk_bit_exact = True
 
     # -- geometry ------------------------------------------------------
     def _geometry(self, n_true: int, input_rate: Rate, align: int | None = None):
@@ -142,6 +147,18 @@ class ShardedDecoder(Decoder):
         ext_out = l_ctx + w + g_ctx
         if l > 1:
             plan = rs.resample_plan(ext_n, l, m, coeff, out_len=ext_out)
+            if not plan.chunk_bit_stable:
+                # ADVICE r4: the VMEM-overflow einsum fallback is
+                # batch-shape sensitive, so this rate pair's sharded
+                # decode is only ulp-close to single-chip — record it
+                # programmatically, don't just log.
+                self.chunk_bit_exact = False
+                log.warning(
+                    "rate pair l=%d m=%d falls back to the batch-shape-"
+                    "sensitive dot; sharded decode is not bit-identical "
+                    "to single-chip (ShardedDecoder.chunk_bit_exact=False)",
+                    l, m,
+                )
             quirk = None
         else:
             plan = None

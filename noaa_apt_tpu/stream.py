@@ -180,8 +180,18 @@ class StreamingDecoder:
         # are fetched back at lowering time — minutes over the tunnel.
         dcoeff = np.asarray(demod_coeff)
         tmpl = np.ascontiguousarray(template.astype(np.float32))
+        self.chunk_bit_exact = True  # may flip below (ADVICE r4)
         if l > 1:
             plan = rs.resample_plan(ext_n, l, m, coeff, out_len=ext_out)
+            # ADVICE r4: surface the VMEM-fallback degraded mode
+            # programmatically (chunked != single-chip bit equality).
+            self.chunk_bit_exact = plan.chunk_bit_stable
+            if not self.chunk_bit_exact:
+                log.warning(
+                    "rate pair l=%d m=%d falls back to the batch-shape-"
+                    "sensitive dot; streamed decode is not bit-identical "
+                    "to the offline graph (chunk_bit_exact=False)", l, m,
+                )
             quirk = None
             coeff_j = None
         else:
