@@ -148,6 +148,45 @@ def _link_probe(n_bytes: int) -> tuple[float, float]:
     return mb / _median(up_times), mb / _median(down_times)
 
 
+def _run_conformance() -> dict:
+    """VERDICT r4 item 2: the FMA/1-ulp bit-stability canaries run in
+    the SAME process/backend as the headline measurement, so a numerics
+    regression (e.g. a new XLA re-fusing the level arithmetic) can
+    never ship a headline silently.  Runs the two bench-relevant
+    (profile, rate) combos; any mismatch marks the headline ineligible
+    (the metric name gains an _UNVERIFIED suffix)."""
+    import importlib.util
+
+    import jax
+
+    t0 = time.time()
+    spec = importlib.util.spec_from_file_location(
+        "tpu_conformance", HERE / "tools" / "tpu_conformance.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from noaa_apt_tpu.core.profiles import STANDARD
+
+    combos = [(STANDARD, 11025, 208), (STANDARD, 48000, 208)]
+    result = {
+        "pass": True,
+        "n_combos": len(combos),
+        "backend": jax.default_backend(),
+        "error": None,
+    }
+    try:
+        for profile, rate_hz, n_rows in combos:
+            mod.check_combo(profile, rate_hz, n_rows)
+    except Exception as e:  # noqa: BLE001 — a tripped canary must not hide
+        result["pass"] = False
+        result["error"] = f"{type(e).__name__}: {e}"
+        log(f"CONFORMANCE FAILED: {result['error']}")
+    result["seconds"] = round(time.time() - t0, 1)
+    log(f"conformance: pass={result['pass']} ({result['seconds']}s)")
+    return result
+
+
 def main():
     t_setup = time.time()
     # Persistent compilation cache: the remote TPU compile of the full
@@ -175,6 +214,9 @@ def main():
     rate = Rate(SAMPLE_RATE)
     contrast = Contrast.from_percent(0.98)
     log(f"setup {time.time() - t_setup:.1f}s")
+
+    # -- 0. numeric-parity canaries on THIS backend (headline gate) ----
+    conformance = _run_conformance()
 
     # -- 1. single pass, host C++ ingest (fewest bytes over the link) --
     dec = Decoder(STANDARD, ingest="host")
@@ -224,6 +266,7 @@ def main():
         "host8": FLEET_N * work_len,
     }
     fleet_by_mode, stages_by_mode, wall_by_mode, trials_by_mode = {}, {}, {}, {}
+    links_by_mode = {}
     total_rows = 0
     ref_imgs: dict = {}
     fleet_psnr_db = None
@@ -241,15 +284,17 @@ def main():
     # must still run before "host8" (it produces the PSNR reference).
     for mode in ("host16", "host", "host8", "device"):
         run_fleet(mode)  # warmup (compiles, page cache)
-        walls, stages_runs = [], []
+        walls, stages_runs, links_runs = [], [], []
         for i in range(5 if mode != "device" else 3):
             t0 = time.time()
             run_fleet(mode)
             walls.append(time.time() - t0)
             stages_runs.append(report.stage_totals())
+            links_runs.append(dict(report.link))
             log(f"fleet/{mode} run {i}: {walls[-1] * 1e3:.0f} ms")
         med = _median(walls)
         stages_by_mode[mode] = stages_runs[walls.index(med)]
+        links_by_mode[mode] = links_runs[walls.index(med)]
         fleet_by_mode[mode] = report.decoded_seconds / med
         wall_by_mode[mode] = med
         trials_by_mode[mode] = [round(w, 2) for w in walls]
@@ -297,6 +342,28 @@ def main():
     fleet_wall = wall_by_mode[best_mode]
     stages = stages_by_mode[best_mode]
     down_bytes = total_rows * 2080
+
+    # Tunnel-mood-independent comparison figure (VERDICT r4 item 4):
+    # replace the MEASURED wire-busy time of the median run (the
+    # transfer gate accounts every chunk) with the time the same bytes
+    # would take on a fixed 35 MB/s reference link.  Rounds are then
+    # comparable even when the tunnel swings 17-48 MB/s.
+    REF_LINK_MBPS = 35.0
+    decoded_s_fleet = total_rows / 2.0
+
+    def x_at_ref_link(mode: str) -> float | None:
+        lk = links_by_mode.get(mode) or {}
+        wire_s = (lk.get("up_wall_s") or 0.0) + (lk.get("down_wall_s") or 0.0)
+        moved_mb = (lk.get("uploaded_MB") or 0.0) + (lk.get("fetched_MB") or 0.0)
+        if moved_mb <= 0:
+            return None
+        norm_wall = wall_by_mode[mode] - wire_s + moved_mb / REF_LINK_MBPS
+        return decoded_s_fleet / norm_wall if norm_wall > 0 else None
+
+    fleet_x_ref_link = {
+        k: (round(v, 1) if (v := x_at_ref_link(k)) is not None else None)
+        for k in fleet_by_mode
+    }
 
     # -- 4. single pass, fully device-resident ingest (raw i16 upload).
     # Runs AFTER the fleet section on purpose: its 57 MB-per-run
@@ -426,13 +493,20 @@ def main():
     stage1_ms = _time_runs(run_stage1_resident, 2, 5, "device-ingest-stage1") * 1e3
 
     baseline = 13.0  # reference: ~13x realtime (Raspberry Pi, fast profile)
+    metric_name = "fleet_aggregate_realtime_factor"
+    if not conformance["pass"]:
+        # A tripped numeric-parity canary makes every throughput claim
+        # unverified: rename the metric so no round records a headline
+        # whose outputs may not match the decode contract.
+        metric_name += "_UNVERIFIED"
     print(
         json.dumps(
             {
-                "metric": "fleet_aggregate_realtime_factor",
+                "metric": metric_name,
                 "value": round(fleet_x, 1),
                 "unit": f"x_realtime_{FLEET_N}x10min_48k_fleet",
                 "vs_baseline": round(fleet_x / baseline, 1),
+                "conformance": conformance,
                 # The headline ("value") is the LINK-BOUND end-to-end
                 # serving figure: median-of-3 walls through the real
                 # host->tunnel->device pipeline.  "engine" below is the
@@ -441,6 +515,11 @@ def main():
                 # scales with chips on co-located hosts.
                 "fleet_best_ingest": best_mode,
                 "fleet_by_mode": {k: round(v, 1) for k, v in fleet_by_mode.items()},
+                # Same walls with the gate-measured wire time replaced
+                # by a fixed 35 MB/s reference link: the cross-round
+                # comparison figure (the raw fleet_by_mode tracks
+                # whatever the tunnel gave during capture).
+                "fleet_x_at_35MBps_link": fleet_x_ref_link,
                 # PSNR of the lossy i8-upload mode's PNGs vs the exact
                 # f32 pipeline's; host8 is only headline-eligible when
                 # this is >= 40 dB.
@@ -470,6 +549,9 @@ def main():
                 # bottleneck visible for the byte-faithful modes even
                 # when a lossy mode takes the headline.
                 "fleet_stages_by_mode": stages_by_mode,
+                # Transfer-gate accounting of each mode's median run:
+                # bytes moved + effective wire rates actually achieved.
+                "fleet_link_by_mode": links_by_mode,
                 "link": {
                     "upload_MBps": round(up_mbps, 1),
                     "fetch_MBps": round(down_mbps, 1),

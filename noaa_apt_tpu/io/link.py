@@ -78,16 +78,23 @@ class _Stats:
             self.opening: list = []  # first few upload chunk rates of the epoch
             self.up_bytes = 0
             self.down_bytes = 0
+            # Cumulative wire-busy walls (not windowed): the epoch's
+            # effective bandwidth = bytes / wall, used by the bench to
+            # normalize results to a reference link speed.
+            self.up_wall = 0.0
+            self.down_wall = 0.0
 
     def record(self, nbytes: int, dt: float, kind: str) -> None:
         with self.lock:
             self.events.append((time.time(), nbytes, dt, kind))
             if kind == "up":
                 self.up_bytes += nbytes
+                self.up_wall += dt
                 if len(self.opening) < 4 and dt > 1e-4:
                     self.opening.append(nbytes / dt)
             else:
                 self.down_bytes += nbytes
+                self.down_wall += dt
 
     def rate_mbps(self, kind: str = "up", window_s: float = 10.0) -> float | None:
         """Recent link rate (MB/s) over the trailing window, or None."""
@@ -128,6 +135,18 @@ def link_stats() -> dict:
         "opening_up_MBps": _stats.opening_mbps(),
         "uploaded_MB": round(_stats.up_bytes / 1e6, 1),
         "fetched_MB": round(_stats.down_bytes / 1e6, 1),
+        # Epoch-effective rates (bytes / wire-busy wall): what the link
+        # actually delivered over the whole run, not a recent window.
+        "eff_up_MBps": (
+            round(_stats.up_bytes / _stats.up_wall / 1e6, 1)
+            if _stats.up_wall > 1e-3 else None
+        ),
+        "eff_down_MBps": (
+            round(_stats.down_bytes / _stats.down_wall / 1e6, 1)
+            if _stats.down_wall > 1e-3 else None
+        ),
+        "up_wall_s": round(_stats.up_wall, 3),
+        "down_wall_s": round(_stats.down_wall, 3),
     }
 
 
