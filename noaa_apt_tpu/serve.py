@@ -433,7 +433,14 @@ def decode_fleet(
                 and not isinstance(work, tuple)
                 and fleet_batch > 1
             ):
-                key = (pad_bucket(work.work_true), work.inv_scale is not None)
+                # dtype in the key: host8's quality gate can hand back
+                # i16 payloads mid-fleet; they must not share a batched
+                # graph with i8 batchmates.
+                key = (
+                    pad_bucket(work.work_true),
+                    work.inv_scale is not None,
+                    str(work.data.dtype),
+                )
                 if group and key != group_key:
                     flush_group()
                 if not group:
