@@ -215,9 +215,6 @@ def main():
     contrast = Contrast.from_percent(0.98)
     log(f"setup {time.time() - t_setup:.1f}s")
 
-    # -- 0. numeric-parity canaries on THIS backend (headline gate) ----
-    conformance = _run_conformance()
-
     # -- 1. single pass, host C++ ingest (fewest bytes over the link) --
     dec = Decoder(STANDARD, ingest="host")
 
@@ -357,7 +354,14 @@ def main():
         moved_mb = (lk.get("uploaded_MB") or 0.0) + (lk.get("fetched_MB") or 0.0)
         if moved_mb <= 0:
             return None
-        norm_wall = wall_by_mode[mode] - wire_s + moved_mb / REF_LINK_MBPS
+        # Non-wire time is clamped at zero: concurrent up/down transfers
+        # both accrue wire wall, so (wall - wire) can go negative on a
+        # collapsed link — crediting that overlap to the reference-link
+        # projection would inflate it unphysically.  The figure is thus
+        # CONSERVATIVE: it assumes fully serial wire time at 35 MB/s
+        # and only the measured non-wire remainder on top.
+        non_wire = max(0.0, wall_by_mode[mode] - wire_s)
+        norm_wall = non_wire + moved_mb / REF_LINK_MBPS
         return decoded_s_fleet / norm_wall if norm_wall > 0 else None
 
     fleet_x_ref_link = {
@@ -491,6 +495,14 @@ def main():
         return float(jnp.sum(corr))
 
     stage1_ms = _time_runs(run_stage1_resident, 2, 5, "device-ingest-stage1") * 1e3
+
+    # -- 7. numeric-parity canaries on THIS backend (headline gate) ----
+    # LAST on purpose: gating the printed metric needs no temporal
+    # priority, and running the ~4-minute sweep first was measured to
+    # spend the freshest tunnel window on canary traffic instead of
+    # the headline fleet modes (the tunnel degrades under sustained
+    # load and recovers slowly).
+    conformance = _run_conformance()
 
     baseline = 13.0  # reference: ~13x realtime (Raspberry Pi, fast profile)
     metric_name = "fleet_aggregate_realtime_factor"

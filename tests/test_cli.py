@@ -423,3 +423,32 @@ def test_version_does_not_touch_the_accelerator(env):
         },
     )
     assert r.returncode == 0, r.stderr
+
+
+def test_manpage_tracks_parser():
+    """The shipped manpage (docs/noaa-apt-tpu.1, packaged to
+    share/man/man1) is generated from build_parser; regenerating must
+    reproduce the checked-in file (modulo the dated .TH header), and
+    every CLI option must appear in it — the parser and the manpage
+    cannot drift apart (reference deliverable: debian/ manpage)."""
+    import importlib.util
+
+    from noaa_apt_tpu.cli import build_parser
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "gen_manpage", root / "tools" / "gen_manpage.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    parser = build_parser()
+    want = mod.generate(parser).splitlines()
+    have = (root / "docs" / "noaa-apt-tpu.1").read_text().splitlines()
+    assert want[1:] == have[1:], (
+        "manpage drift: regenerate with `python tools/gen_manpage.py`"
+    )
+    text = "\n".join(have)
+    for a in parser._actions:
+        for opt in a.option_strings:
+            assert opt.replace("-", "\\-") in text, f"option {opt} missing from manpage"
