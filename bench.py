@@ -259,6 +259,9 @@ def main():
     up_bytes_by_mode = {
         "device": FLEET_N * len(signal) * 2,
         "host16": FLEET_N * work_len * 2,
+        # host16c: content-dependent (lossless codec); actual bytes come
+        # from the transfer gate's accounting after the run.
+        "host16c": None,
         "host": FLEET_N * work_len * 4,
         "host8": FLEET_N * work_len,
     }
@@ -273,13 +276,17 @@ def main():
     # reproduces, not the best window ever caught.  Stage totals are
     # taken from the median run so the per-stage attribution stays
     # internally consistent.
-    # Mode order: lightest-upload modes first.  The tunnel's throughput
-    # degrades under sustained load and recovers slowly; running the
-    # 460 MB-per-trial "device" mode first was measured to depress the
-    # following modes' walls by 2-3x ("host16" medians 5.0 s vs 7-17 s
-    # depending on how much device-mode traffic preceded them).  "host"
-    # must still run before "host8" (it produces the PSNR reference).
-    for mode in ("host16", "host", "host8", "device"):
+    # Mode order: byte-faithful light modes first.  The tunnel's
+    # throughput degrades under sustained load and recovers slowly;
+    # running the 460 MB-per-trial "device" mode first was measured to
+    # depress the following modes' walls by 2-3x.  "host16c" (the
+    # lossless-codec mode, ~20% fewer bytes than host16) leads so the
+    # byte-faithful headline candidate gets the freshest window;
+    # "host" must still run before "host8" (it produces the PSNR
+    # reference).
+    png_hashes: dict = {}
+    host16c_bit_exact = None
+    for mode in ("host16c", "host16", "host", "host8", "device"):
         run_fleet(mode)  # warmup (compiles, page cache)
         walls, stages_runs, links_runs = [], [], []
         for i in range(5 if mode != "device" else 3):
@@ -298,6 +305,22 @@ def main():
         total_rows = sum(r.n_rows for r in report.ok)
         from PIL import Image
 
+        if mode in ("host16c", "host16"):
+            # The codec mode's headline eligibility is BYTE-EXACT
+            # equality with host16's outputs (the in-graph codec
+            # reconstructs the identical i16 work signal).
+            import hashlib
+
+            png_hashes[mode] = {
+                f.name: hashlib.sha256(f.read_bytes()).hexdigest()
+                for f in sorted(out_dir.glob("*.png"))
+            }
+            if mode == "host16" and "host16c" in png_hashes:
+                host16c_bit_exact = (
+                    bool(png_hashes["host16c"])
+                    and png_hashes["host16c"] == png_hashes["host16"]
+                )
+                log(f"host16c bit-exact vs host16: {host16c_bit_exact}")
         if mode == "host":
             # Exact f32-upload outputs: the fidelity reference for the
             # lossy i8 mode below.
@@ -332,7 +355,8 @@ def main():
     headline = {
         k: v
         for k, v in fleet_by_mode.items()
-        if k != "host8" or (fleet_psnr_db is not None and fleet_psnr_db >= 40.0)
+        if (k != "host8" or (fleet_psnr_db is not None and fleet_psnr_db >= 40.0))
+        and (k != "host16c" or host16c_bit_exact is True)
     }
     best_mode = max(headline, key=headline.get)
     fleet_x = fleet_by_mode[best_mode]
@@ -381,10 +405,14 @@ def main():
 
     single_device = duration_s / _time_runs(run_device, 2, 3, "single/device-ingest")
 
-    predicted_wall = (
-        up_bytes_by_mode[best_mode] / 1e6 / up_mbps + down_bytes / 1e6 / down_mbps
-    )
+    # Upload bytes of the best mode: the gate's measured accounting when
+    # available (exact for the content-dependent host16c codec),
+    # otherwise the static byte model.
     up_bytes = up_bytes_by_mode[best_mode]
+    gate_mb = (links_by_mode.get(best_mode) or {}).get("uploaded_MB")
+    if gate_mb:
+        up_bytes = int(gate_mb * 1e6)
+    predicted_wall = up_bytes / 1e6 / up_mbps + down_bytes / 1e6 / down_mbps
 
     # -- 5. compute-only: raw i16 resident on chip, scalar checksum out.
     # The FULL fused decode graph (polyphase ingest -> demod/FIR/corr ->
@@ -538,6 +566,9 @@ def main():
                 "fleet_host8_psnr_db": (
                     round(float(fleet_psnr_db), 1) if fleet_psnr_db is not None else None
                 ),
+                # host16c (lossless codec) must produce byte-identical
+                # PNGs to host16 to be headline-eligible.
+                "fleet_host16c_bit_exact": host16c_bit_exact,
                 "fleet_trials_s": trials_by_mode,
                 "single_pass_host_ingest_x": round(single_host, 1),
                 "single_pass_device_ingest_x": round(single_device, 1),

@@ -78,11 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rotate-image", action="store_true", help="Deprecated. Use --rotate instead.")
     p.add_argument("--distributed", metavar="N_CHIPS", type=int, default=0, help=(
         "TPU extension: sequence-shard the decode over N chips."))
-    p.add_argument("--ingest", metavar="WHERE", choices=["device", "host", "host16", "host8"], default="device", help=(
+    p.add_argument("--ingest", metavar="WHERE", choices=["device", "host", "host16", "host16c", "host8"], default="device", help=(
         "TPU extension: where the first resample runs. 'host' uses the "
         "native C++ polyphase before upload (fewer bytes over the "
         "host-accelerator link); 'host16' additionally quantizes the work "
-        "signal to 16-bit (half the bytes again, ~90 dB SNR); 'host8' "
+        "signal to 16-bit (half the bytes again, ~90 dB SNR); 'host16c' "
+        "adds a lossless residual codec on top (~20% fewer bytes again, "
+        "decoded in-graph — output byte-identical to host16); 'host8' "
         "quantizes to 8-bit (a quarter of the f32 bytes, ~42 dB SNR — "
         "lossy but below real APT channel noise; for bandwidth-starved "
         "links); 'device' (default) keeps it in the XLA graph."))
@@ -493,8 +495,14 @@ def _run(args) -> int:
         else:
             levels = ("minmax", 0.98)
         context.status(0.1, f"Decoding (fused, {args.ingest} ingest)")
-        if args.ingest in ("host", "host16", "host8"):
-            payload = decoder_obj.prepare_work(signal, rate, context=context)
+        if args.ingest in ("host", "host16", "host16c", "host8"):
+            # host16c needs the device-resident packed form (the codec
+            # decodes in-graph); the other host modes defer the upload
+            # to the fused dispatch.
+            payload = decoder_obj.prepare_work(
+                signal, rate, to_device=(args.ingest == "host16c"),
+                context=context,
+            )
         else:
             payload = None
         if payload is not None:

@@ -85,6 +85,13 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ]
+            lib.apt_pack_work_i16.restype = ctypes.c_int64
+            lib.apt_pack_work_i16.argtypes = [
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64, ctypes.c_int64,
+            ]
             lib.apt_ingest_i8.restype = ctypes.c_int64
             lib.apt_ingest_i8.argtypes = [
                 ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int64,
@@ -176,6 +183,47 @@ def ingest_i16_native(
     if rc < 0:
         return None
     return out, float(inv_scale.value)
+
+
+def pack_work_i16_native(
+    x: np.ndarray, work_rate_hz: int, threads: int | None = None,
+):
+    """Native encoder for the host16c lossless work-signal codec
+    (ops/pack.py scheme), bit-identical to ``pack.pack_work_i16``
+    (tested) at ~100x its speed.  Returns a ``PackedWork`` or None if
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import os
+
+    from ..ops.pack import BLOCK, PackedWork, predictor_coeff
+
+    if x.dtype != np.int16:
+        raise ValueError(f"pack_work_i16 needs int16 input, got {x.dtype}")
+    if not x.flags.c_contiguous:
+        x = np.ascontiguousarray(x)
+    n = int(x.shape[0])
+    nb = -(-n // BLOCK)
+    coeff = predictor_coeff(work_rate_hz)
+    words = np.empty(nb * 71, np.uint32)  # worst case: width 18
+    widths = np.empty(nb, np.uint8)
+    anchors = np.empty((nb, 2), np.int16)
+    nthreads = threads or min(8, os.cpu_count() or 1)
+    total = lib.apt_pack_work_i16(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n,
+        coeff,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), words.shape[0],
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        anchors.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        nb, nthreads,
+    )
+    if total < 0:
+        return None
+    return PackedWork(
+        words=words[:total].copy(), widths=widths, anchors=anchors,
+        n_samples=n, coeff=coeff,
+    )
 
 
 def find_sync_peaks_native(corr: np.ndarray, spr: int, md: int) -> list[int] | None:

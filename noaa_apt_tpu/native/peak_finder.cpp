@@ -305,6 +305,111 @@ int64_t apt_ingest_i8(const int16_t* x, int64_t n, int64_t l, int64_t m,
     return out_true;
 }
 
+// Lossless fixed-width residual packer for the i16 work signal
+// (ops/pack.py: the host16c serving mode).  Bit-identical to the
+// NumPy reference encoder: resonant 2-tap predictor
+//   pred[n] = (coeff * x[n-1]) >> 14 - x[n-2]   (arithmetic shift)
+// residuals packed per 128-sample block (2 raw i16 anchors + 126
+// residuals at the block's max signed width), block data word-aligned,
+// bits filling each u32 from the LSB up.  Returns total words written
+// or -1 when words_cap would be exceeded.  nb = ceil(n / 128); samples
+// past n are treated as zero (the padded-bucket contract).
+static void pack_block_range(
+    const int16_t* x, int64_t n, int32_t coeff,
+    uint32_t* words, const int64_t* block_word_off,
+    uint8_t* widths, int16_t* anchors,
+    int64_t b0, int64_t b1) {
+    for (int64_t b = b0; b < b1; ++b) {
+        const int64_t base = b * 128;
+        int32_t xb[128];
+        for (int64_t j = 0; j < 128; ++j) {
+            const int64_t i = base + j;
+            xb[j] = (i < n) ? x[i] : 0;
+        }
+        anchors[2 * b] = static_cast<int16_t>(xb[0]);
+        anchors[2 * b + 1] = static_cast<int16_t>(xb[1]);
+        int64_t r[126];
+        int64_t mn = 0, mx = 0;
+        for (int64_t j = 0; j < 126; ++j) {
+            const int64_t pred =
+                ((static_cast<int64_t>(coeff) * xb[j + 1]) >> 14) - xb[j];
+            r[j] = xb[j + 2] - pred;
+            mn = std::min(mn, r[j]);
+            mx = std::max(mx, r[j]);
+        }
+        int w = 1;
+        while (mn < -(int64_t(1) << (w - 1)) ||
+               mx > (int64_t(1) << (w - 1)) - 1) {
+            ++w;
+        }
+        widths[b] = static_cast<uint8_t>(w);
+        uint32_t* wp = words + block_word_off[b];
+        uint64_t acc = 0;
+        int accbits = 0;
+        const uint64_t mask = (uint64_t(1) << w) - 1;
+        for (int64_t j = 0; j < 126; ++j) {
+            acc |= (static_cast<uint64_t>(r[j]) & mask) << accbits;
+            accbits += w;
+            if (accbits >= 32) {
+                *wp++ = static_cast<uint32_t>(acc & 0xFFFFFFFFu);
+                acc >>= 32;
+                accbits -= 32;
+            }
+        }
+        if (accbits > 0) *wp++ = static_cast<uint32_t>(acc);
+    }
+}
+
+int64_t apt_pack_work_i16(
+    const int16_t* x, int64_t n, int32_t coeff,
+    uint32_t* words, int64_t words_cap,
+    uint8_t* widths, int16_t* anchors, int64_t nb, int64_t threads) {
+    if (n <= 0 || nb <= 0 || nb * 128 < n) return -1;
+    // Pass 1: widths only (cheap) to derive word offsets, so pass 2
+    // can pack blocks in parallel at independent offsets.
+    std::vector<int64_t> off(nb + 1, 0);
+    for (int64_t b = 0; b < nb; ++b) {
+        const int64_t base = b * 128;
+        int32_t x0 = (base < n) ? x[base] : 0;
+        int32_t x1 = (base + 1 < n) ? x[base + 1] : 0;
+        int64_t mn = 0, mx = 0;
+        for (int64_t j = 0; j < 126; ++j) {
+            const int32_t x2 =
+                (base + j + 2 < n) ? x[base + j + 2] : 0;
+            const int64_t pred =
+                ((static_cast<int64_t>(coeff) * x1) >> 14) - x0;
+            const int64_t rj = x2 - pred;
+            mn = std::min(mn, rj);
+            mx = std::max(mx, rj);
+            x0 = x1;
+            x1 = x2;
+        }
+        int w = 1;
+        while (mn < -(int64_t(1) << (w - 1)) ||
+               mx > (int64_t(1) << (w - 1)) - 1) {
+            ++w;
+        }
+        off[b + 1] = off[b] + ((126 * w + 31) >> 5);
+    }
+    const int64_t total = off[nb];
+    if (total > words_cap) return -1;
+    const int64_t nthreads = std::max<int64_t>(1, std::min<int64_t>(threads, 16));
+    const int64_t chunk = (nb + nthreads - 1) / nthreads;
+    {
+        std::vector<std::thread> pool;
+        for (int64_t t = 1; t < nthreads; ++t) {
+            const int64_t b0 = t * chunk, b1 = std::min(nb, b0 + chunk);
+            if (b0 >= b1) break;
+            pool.emplace_back(pack_block_range, x, n, coeff, words,
+                              off.data(), widths, anchors, b0, b1);
+        }
+        pack_block_range(x, n, coeff, words, off.data(), widths, anchors,
+                         0, std::min(nb, chunk));
+        for (auto& th : pool) th.join();
+    }
+    return total;
+}
+
 // Telemetry best-frame scan (reference telemetry.rs:201-227): first
 // strict maximum of quality starting from 0.  Provided natively for
 // symmetry; the host array is tiny.

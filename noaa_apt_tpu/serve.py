@@ -28,7 +28,13 @@ from . import err
 from .io import link as link_io
 from .io.png import write_gray_png
 from .core.profiles import DecodeProfile, STANDARD
-from .graph.decode import Decoder, PendingRender, PendingRenderTelemetry, pad_bucket
+from .graph.decode import (
+    Decoder,
+    PackedWorkPayload,
+    PendingRender,
+    PendingRenderTelemetry,
+    pad_bucket,
+)
 from .graph.process import finish_image, process
 from .io import wav
 from .types import Contrast, ContrastKind, Rotate
@@ -186,8 +192,6 @@ def decode_fleet(
         k = seen.get(p.stem, 0)
         seen[p.stem] = k + 1
         out_names.append(p.stem if k == 0 else f"{p.stem}_{k}")
-    dec = Decoder(profile, ingest=ingest)
-
     # Fused low-round-trip render (Decoder.decode_render) applies to
     # every contrast mode; levels follow process()'s rules
     # (noaa_apt.rs:144-176).  Telemetry keeps the image resident while
@@ -202,6 +206,13 @@ def decode_fleet(
         fused_levels = ("percent", 0.98) if color is not None else ("minmax", 0.98)
     elif sync and contrast.kind == ContrastKind.TELEMETRY:
         fused_levels = ("telemetry", 0.98)
+
+    if ingest == "host16c" and fused_levels is None:
+        # The packed codec only has fused-graph decode paths; the
+        # unfused pipeline (sync=False etc.) takes the byte-identical
+        # plain host16 route.
+        ingest = "host16"
+    dec = Decoder(profile, ingest=ingest)
 
     # Mode-L output applies whenever the image carries no color
     # information, fused path or not (per-pass orbit checked at encode).
@@ -234,7 +245,7 @@ def decode_fleet(
                 t1 = time.time()
                 # Ingest + device upload run here, overlapped with the
                 # device stage working on earlier passes.
-                if ingest in ("host", "host16", "host8"):
+                if ingest in ("host", "host16", "host8", "host16c"):
                     work = dec.prepare_work(signal, rate, to_device=True)
                 elif fused_levels is not None:
                     # Device ingest: pre-upload the raw recording; the
@@ -435,12 +446,16 @@ def decode_fleet(
             ):
                 # dtype in the key: host8's quality gate can hand back
                 # i16 payloads mid-fleet; they must not share a batched
-                # graph with i8 batchmates.
-                key = (
-                    pad_bucket(work.work_true),
-                    work.inv_scale is not None,
-                    str(work.data.dtype),
-                )
+                # graph with i8 batchmates.  Packed (host16c) payloads
+                # group by their own (block, word) buckets.
+                if isinstance(work, PackedWorkPayload):
+                    key = ("packed", int(work.widths.shape[0]), work.nw_pad)
+                else:
+                    key = (
+                        pad_bucket(work.work_true),
+                        work.inv_scale is not None,
+                        str(work.data.dtype),
+                    )
                 if group and key != group_key:
                     flush_group()
                 if not group:
