@@ -128,6 +128,56 @@ def modulate(
     return sig.astype(np.float32)
 
 
+def impair(
+    signal: np.ndarray,
+    sample_rate: int,
+    dropouts: "list[tuple[float, float]] | None" = None,
+    dc_drift: float = 0.0,
+    clip_frac: float | None = None,
+    rate_error_ppm: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Apply channel impairments a real ground station sees.
+
+    ``dropouts``: list of (start_s, duration_s) spans replaced by
+    receiver noise floor (no carrier — the regime where the reference
+    synthesizes missed sync peaks, ``decode.rs:244-246``).
+    ``dc_drift``: peak amplitude (fraction of signal peak) of a slow
+    baseline wander (0.1 Hz sine + linear ramp) — exercises the
+    DC-removal ingest filter (``filters.rs:97-139``).
+    ``clip_frac``: hard-clip at this fraction of the original peak
+    (overdriven soundcard).
+    ``rate_error_ppm``: resample by (1 + ppm*1e-6) without telling the
+    decoder — a doppler-ish/soundcard-clock rate error that slowly
+    walks the sync phase.
+    """
+    sig = signal.astype(np.float64).copy()
+    peak = np.abs(sig).max() or 1.0
+    rng = np.random.default_rng(seed + 1)
+    if dropouts:
+        floor = 0.02 * peak
+        for start_s, dur_s in dropouts:
+            a = int(start_s * sample_rate)
+            b = min(len(sig), a + int(dur_s * sample_rate))
+            sig[a:b] = rng.normal(0.0, floor, b - a)
+    if dc_drift:
+        t = np.arange(len(sig)) / sample_rate
+        sig += dc_drift * peak * (
+            0.6 * np.sin(2 * np.pi * 0.1 * t) + 0.4 * t / t[-1]
+        )
+    if clip_frac is not None:
+        lim = clip_frac * peak
+        sig = np.clip(sig, -lim, lim)
+    if rate_error_ppm:
+        n = len(sig)
+        src = np.arange(n, dtype=np.float64) * (1.0 + rate_error_ppm * 1e-6)
+        i0 = np.minimum(src.astype(np.int64), n - 1)
+        i1 = np.minimum(i0 + 1, n - 1)
+        frac = src - i0
+        sig = sig[i0] * (1 - frac) + sig[i1] * frac
+    return sig.astype(np.float32)
+
+
 def synth_recording(
     n_rows: int = 128,
     sample_rate: int = 11025,
