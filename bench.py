@@ -165,6 +165,9 @@ def _run_conformance() -> dict:
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    # The sweep's progress lines must not pollute this script's
+    # stdout (ONE JSON line contract) — route them to stderr.
+    mod.log = lambda msg: log(f"[conformance] {msg}")
 
     from noaa_apt_tpu.core.profiles import STANDARD
 
