@@ -112,19 +112,19 @@ class PackedWorkPayload:
     INSIDE the device graph back to the bit-identical i16 stream, so
     every downstream result is byte-identical to ``host16``.
 
-    ``words``/``widths``/``anchors``: device (or host) arrays padded to
-    ``nw_pad`` / ``nb = pad_bucket(work_true)/BLOCK`` blocks."""
+    ``buf``: ONE sealed u32 device array (widths + anchors + packed
+    words, see ``pack.seal_packed``) — a single upload and a single
+    jit argument per pass; ``nb = pad_bucket(work_true)/BLOCK`` blocks."""
 
-    words: object    # u32 [nw_pad]
-    widths: object   # u8  [nb]
-    anchors: object  # i16 [nb, 2]
+    buf: object  # u32 sealed buffer (device or host)
+    nb: int
     work_true: int
     inv_scale: float
     coeff: int
 
     @property
-    def nw_pad(self) -> int:
-        return int(self.words.shape[0])
+    def buf_len(self) -> int:
+        return int(self.buf.shape[0])
 
 
 @dataclass
@@ -712,13 +712,12 @@ class Decoder:
                 p.nbytes / buf_padded.nbytes,
             )
             return None
+        nb = w_pad // pk.BLOCK
         nw_pad = pad_bucket(len(p.words))
-        wbuf = np.zeros(nw_pad, np.uint32)
-        wbuf[: len(p.words)] = p.words
+        sealed = pk.seal_packed(p, nb, nw_pad)
         return PackedWorkPayload(
-            words=link_io.upload(wbuf),
-            widths=link_io.upload(p.widths),
-            anchors=link_io.upload(p.anchors, chunked=False),
+            buf=link_io.upload(sealed),
+            nb=nb,
             work_true=work_true,
             inv_scale=float(inv_scale),
             coeff=p.coeff,
@@ -1111,17 +1110,18 @@ class Decoder:
         return step
 
     def _get_fused_render_packed(
-        self, w_pad: int, nw_pad: int, kind: str, pct: float,
+        self, w_pad: int, buf_len: int, kind: str, pct: float,
         batch: int | None = None,
     ):
         """Fused render whose work signal arrives as the lossless
         packed codec stream (ops/pack.py, ``ingest="host16c"``): the
-        graph decodes the bit-identical i16 work signal on device, so
-        every downstream value — and the u8 output — is byte-identical
-        to :meth:`_get_fused_render` fed the plain i16 payload."""
+        graph opens the sealed buffer (bitcasts/slices) and decodes the
+        bit-identical i16 work signal on device, so every downstream
+        value — and the u8 output — is byte-identical to
+        :meth:`_get_fused_render` fed the plain i16 payload."""
         from ..ops import pack as pk
 
-        key = ("fusedc", w_pad, nw_pad, kind, np.float32(pct).tobytes(), batch)
+        key = ("fusedc", w_pad, buf_len, kind, np.float32(pct).tobytes(), batch)
         if key in self._stage1:
             return self._stage1[key]
         self._note_compile(key)
@@ -1132,7 +1132,8 @@ class Decoder:
         nb = w_pad // pk.BLOCK
         coeff = pk.predictor_coeff(self.work_rate.get_hz())
 
-        def pre(words, widths, anchors, inv_scale):
+        def pre(buf, inv_scale):
+            words, widths, anchors = pk.open_packed_device(buf, nb)
             xi = pk.unpack_work_device(words, widths, anchors, coeff, nb)
             y = xi.astype(jnp.float32) * inv_scale
             if fused is not None:
@@ -1142,20 +1143,18 @@ class Decoder:
             return f, sy.sync_correlate(f, template)
 
         if batch:
-            def packed_step_batch(words, widths, anchors, inv_scales, work_trues):
+            def packed_step_batch(bufs, inv_scales, work_trues):
                 # Tuples stack in-graph (eager stacks block on the
                 # tunnel backend; see decode_render_batch).
-                if isinstance(words, (list, tuple)):
-                    words = jnp.stack(words)
-                    widths = jnp.stack(widths)
-                    anchors = jnp.stack(anchors)
-                f, corr = jax.vmap(pre)(words, widths, anchors, inv_scales)
+                if isinstance(bufs, (list, tuple)):
+                    bufs = jnp.stack(bufs)
+                f, corr = jax.vmap(pre)(bufs, inv_scales)
                 return tail(f, corr, work_trues)
 
             step = jax.jit(packed_step_batch)
         else:
-            def packed_step(words, widths, anchors, inv_scale, work_true):
-                f, corr = pre(words, widths, anchors, inv_scale)
+            def packed_step(buf, inv_scale, work_true):
+                f, corr = pre(buf, inv_scale)
                 return tail(f, corr, work_true)
 
             step = jax.jit(packed_step)
@@ -1255,13 +1254,12 @@ class Decoder:
         if isinstance(payload, PackedWorkPayload):
             from ..ops import pack as pk
 
-            w_pad = int(payload.widths.shape[0]) * pk.BLOCK
+            w_pad = payload.nb * pk.BLOCK
             step = self._get_fused_render_packed(
-                w_pad, payload.nw_pad, contrast_kind, pct
+                w_pad, payload.buf_len, contrast_kind, pct
             )
             pending = cls_p(step(
-                payload.words, payload.widths, payload.anchors,
-                np.float32(payload.inv_scale), np.int32(work_true),
+                payload.buf, np.float32(payload.inv_scale), np.int32(work_true),
             ))
             return pending.get() if fetch else pending
         quantized = payload.inv_scale is not None
@@ -1448,27 +1446,25 @@ class Decoder:
         both buckets are uniform here by construction."""
         from ..ops import pack as pk
 
-        w_pads = {int(payloads[b].widths.shape[0]) * pk.BLOCK for b in keep}
-        nw_pads = {payloads[b].nw_pad for b in keep}
-        if len(w_pads) != 1 or len(nw_pads) != 1:
+        w_pads = {payloads[b].nb * pk.BLOCK for b in keep}
+        buf_lens = {payloads[b].buf_len for b in keep}
+        if len(w_pads) != 1 or len(buf_lens) != 1:
             raise err.InternalError(
-                "packed decode_render_batch needs one (w_pad, nw_pad) bucket, "
-                f"got {sorted(w_pads)} x {sorted(nw_pads)}"
+                "packed decode_render_batch needs one (w_pad, buf_len) bucket, "
+                f"got {sorted(w_pads)} x {sorted(buf_lens)}"
             )
-        w_pad, nw_pad = w_pads.pop(), nw_pads.pop()
+        w_pad, buf_len = w_pads.pop(), buf_lens.pop()
         n_live = len(keep)
         src = list(keep)
         if pad_to is not None and pad_to > n_live:
             src += [keep[-1]] * (pad_to - n_live)
         step = self._get_fused_render_packed(
-            w_pad, nw_pad, contrast_kind, pct, batch=len(src)
+            w_pad, buf_len, contrast_kind, pct, batch=len(src)
         )
-        words = tuple(payloads[b].words for b in src)
-        widths = tuple(payloads[b].widths for b in src)
-        anchors = tuple(payloads[b].anchors for b in src)
+        bufs = tuple(payloads[b].buf for b in src)
         inv_scales = np.asarray([payloads[b].inv_scale for b in src], np.float32)
         work_trues = np.asarray([payloads[b].work_true for b in src], np.int32)
-        out = step(words, widths, anchors, inv_scales, work_trues)
+        out = step(bufs, inv_scales, work_trues)
         pending = bcls(
             out, errors=errors or None,
             n_live=n_live if len(src) > n_live else None,

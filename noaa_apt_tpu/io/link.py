@@ -184,14 +184,21 @@ def _concat(devs: list):
 def upload(buf: np.ndarray, chunked: bool = True):
     """Upload ``buf`` (1-D, host) to the default device through the
     gate; returns the device array (bit-identical to a plain
-    ``jax.device_put(buf)``).  Blocks until resident."""
+    ``jax.device_put(buf)``).  Blocks until resident.
+
+    Chunks pipeline at depth 2: the next chunk's transfer is issued
+    while the previous one drains, so the wire never idles on the
+    issue/complete round trip, yet at most ~2 chunks ride ahead of a
+    pending fetch.  Throughput accounting is per ``upload()`` call
+    (first issue to last completion), so the epoch-effective rate the
+    bench normalizes with stays honest under the overlap."""
     import jax
 
+    global _upload_busy
     nbytes = buf.nbytes
     cb = _chunk_bytes()
     if not chunked or buf.ndim != 1 or nbytes <= cb:
         with _cond:
-            global _upload_busy
             while _fetch_waiting > 0 or _upload_busy:
                 _cond.wait()
             _upload_busy = True
@@ -209,10 +216,30 @@ def upload(buf: np.ndarray, chunked: bool = True):
         return d
 
     elems = max(1, cb // max(1, buf.itemsize))
-    devs = []
+    devs: list = []
+    inflight: deque = deque()  # device arrays issued, not yet drained
+    t_start = time.time()
     for start in range(0, buf.shape[0], elems):
         chunk = buf[start : start + elems]
-        devs.append(upload(chunk, chunked=False))
+        with _cond:
+            while _fetch_waiting > 0 or _upload_busy:
+                _cond.wait()
+            _upload_busy = True
+        try:
+            if _chunk_hook is not None:
+                _chunk_hook(chunk.nbytes)
+            d = jax.device_put(chunk)  # async issue; the wire pipelines
+        finally:
+            with _cond:
+                _upload_busy = False
+                _cond.notify_all()
+        inflight.append(d)
+        devs.append(d)
+        if len(inflight) >= 2:
+            inflight.popleft().block_until_ready()
+    while inflight:
+        inflight.popleft().block_until_ready()
+    _stats.record(nbytes, time.time() - t_start, "up")
     return _concat(devs)
 
 

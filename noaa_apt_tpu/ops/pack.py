@@ -69,6 +69,47 @@ class PackedWork:
         return self.words.nbytes + self.widths.nbytes + self.anchors.nbytes
 
 
+def seal_packed(p: PackedWork, nb: int, nw_pad: int) -> np.ndarray:
+    """Coalesce a PackedWork into ONE u32 upload buffer:
+
+        [ceil(nb/4) words: u8 widths] [nb words: i16 anchor pairs]
+        [nw_pad words: packed residual bits]
+
+    One buffer = one gated (chunked, pipelined) upload and a single
+    jit argument per pass — measured on the tunnel backend, three
+    small per-pass ``device_put``s cost more wire wall than the codec
+    saved (~0.15-0.3 s of per-put overhead each under load)."""
+    assert p.widths.shape[0] <= nb and len(p.words) <= nw_pad
+    nwid = -(-nb // 4)
+    buf = np.zeros(nwid + nb + nw_pad, np.uint32)
+    w8 = np.zeros(nwid * 4, np.uint8)
+    w8[: p.widths.shape[0]] = p.widths
+    buf[:nwid] = w8.view(np.uint32)
+    an = np.zeros((nb, 2), np.int16)
+    an[: p.anchors.shape[0]] = p.anchors
+    buf[nwid : nwid + nb] = an.view(np.uint32).reshape(-1)
+    buf[nwid + nb : nwid + nb + len(p.words)] = p.words
+    return buf
+
+
+def open_packed_device(buf, nb: int):
+    """Split a sealed buffer back into (words, widths, anchors) on
+    device (pure bitcasts/slices — no host round trip).  ``nb`` is
+    static; ``nw_pad`` is implied by the buffer length."""
+    import jax
+    import jax.numpy as jnp
+
+    nwid = -(-nb // 4)
+    widths = jax.lax.bitcast_convert_type(
+        buf[:nwid], jnp.uint8
+    ).reshape(-1)[:nb]
+    anchors = jax.lax.bitcast_convert_type(
+        buf[nwid : nwid + nb], jnp.int16
+    )  # [nb, 2]: low half = anchor 0
+    words = buf[nwid + nb :]
+    return words, widths, anchors
+
+
 def _residuals_np(x: np.ndarray, coeff: int) -> np.ndarray:
     """Residual stream for samples [2:] (i64 to hold the worst case).
 

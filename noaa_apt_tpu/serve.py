@@ -449,7 +449,7 @@ def decode_fleet(
                 # graph with i8 batchmates.  Packed (host16c) payloads
                 # group by their own (block, word) buckets.
                 if isinstance(work, PackedWorkPayload):
-                    key = ("packed", int(work.widths.shape[0]), work.nw_pad)
+                    key = ("packed", work.nb, work.buf_len)
                 else:
                     key = (
                         pad_bucket(work.work_true),

@@ -108,6 +108,40 @@ def test_corrupt_stream_no_crash():
     assert out.shape == (nb * pk.BLOCK,)
 
 
+@pytest.mark.parametrize("name", ["am_carrier", "ragged_tail"])
+def test_seal_open_roundtrip(name):
+    """The sealed single-buffer form (widths+anchors+words coalesced
+    into one u32 upload) opens on device to the identical streams."""
+    import jax
+    import jax.numpy as jnp
+
+    x = CASES[name]
+    p = pk.pack_work_i16(x, 12480)
+    nb_true = p.widths.shape[0]
+    nb = nb_true + 3  # exercise block padding
+    nw_pad = len(p.words) + 17
+    sealed = pk.seal_packed(p, nb, nw_pad)
+
+    @jax.jit
+    def opener(buf):
+        return pk.open_packed_device(buf, nb)
+
+    words, widths, anchors = jax.device_get(opener(jnp.asarray(sealed)))
+    np.testing.assert_array_equal(words[: len(p.words)], p.words)
+    np.testing.assert_array_equal(widths[:nb_true], p.widths)
+    np.testing.assert_array_equal(anchors[:nb_true], p.anchors)
+    assert (widths[nb_true:] == 0).all() and (anchors[nb_true:] == 0).all()
+
+    # And the full decode from the sealed form is bit-exact.
+    @jax.jit
+    def decode(buf):
+        wo, wi, an = pk.open_packed_device(buf, nb)
+        return pk.unpack_work_device(wo, wi, an, p.coeff, nb)
+
+    out = np.asarray(decode(jnp.asarray(sealed)))
+    np.testing.assert_array_equal(out[: p.n_samples], x)
+
+
 def _wav_fleet(tmp_path, n=3, n_rows=40, noise_db=18.0):
     from noaa_apt_tpu.io import wav
     from noaa_apt_tpu.io.wav import WavSpec
@@ -147,9 +181,7 @@ def test_host16c_render_byte_equals_host16(tmp_path):
     wc = decc.prepare_work(sig16, rate, to_device=True)
     assert isinstance(wc, PackedWorkPayload), "codec should engage on APT signals"
     assert wc.inv_scale == w16.inv_scale
-    upload_ratio = (
-        wc.words.nbytes + wc.widths.nbytes + wc.anchors.nbytes
-    ) / (np.asarray(w16.data).nbytes)
+    upload_ratio = wc.buf.nbytes / np.asarray(w16.data).nbytes
     assert upload_ratio < 0.95, f"no byte win: {upload_ratio:.3f}"
     for kind in ("percent", "minmax"):
         g16, s16 = dec16.decode_render(w16, kind, 0.98)
