@@ -112,19 +112,19 @@ class PackedWorkPayload:
     INSIDE the device graph back to the bit-identical i16 stream, so
     every downstream result is byte-identical to ``host16``.
 
-    ``buf``: ONE sealed u32 device array (widths + anchors + packed
-    words, see ``pack.seal_packed``) — a single upload and a single
-    jit argument per pass; ``nb = pad_bucket(work_true)/BLOCK`` blocks."""
+    ``buf``: ONE sealed u32 device array (anchors + escape rows +
+    fixed-stride base bits, see ``pack.seal_packed``) — a single upload
+    and a single jit argument per pass; ``nb =
+    pad_bucket(work_true)/BLOCK`` blocks; ``w_lo``/``n_esc_pad`` are
+    static layout parameters (part of the jit key)."""
 
     buf: object  # u32 sealed buffer (device or host)
     nb: int
+    w_lo: int
+    n_esc_pad: int
     work_true: int
     inv_scale: float
     coeff: int
-
-    @property
-    def buf_len(self) -> int:
-        return int(self.buf.shape[0])
 
 
 @dataclass
@@ -702,6 +702,9 @@ class Decoder:
         if w_pad % pk.BLOCK != 0:
             return None
         p = pack_work_i16_native(buf_padded, self.work_rate.get_hz())
+        if p == "incompressible":
+            log.info("host16c: signal does not compress; using plain i16")
+            return None
         if p is None:
             if w_pad > 2_000_000:
                 return None  # numpy encoder too slow for serving sizes
@@ -713,11 +716,16 @@ class Decoder:
             )
             return None
         nb = w_pad // pk.BLOCK
-        nw_pad = pad_bucket(len(p.words))
-        sealed = pk.seal_packed(p, nb, nw_pad)
+        # Escape-count bucket: a jit-variant knob; bucketing keeps a
+        # fleet of similar passes on ONE graph while a pathological
+        # pass still decodes (at its own variant's cost).
+        n_esc_pad = pad_bucket(max(4, len(p.esc_idx)))
+        sealed = pk.seal_packed(p, n_esc_pad)
         return PackedWorkPayload(
             buf=link_io.upload(sealed),
             nb=nb,
+            w_lo=p.w_lo,
+            n_esc_pad=n_esc_pad,
             work_true=work_true,
             inv_scale=float(inv_scale),
             coeff=p.coeff,
@@ -1110,7 +1118,7 @@ class Decoder:
         return step
 
     def _get_fused_render_packed(
-        self, w_pad: int, buf_len: int, kind: str, pct: float,
+        self, w_pad: int, w_lo: int, n_esc_pad: int, kind: str, pct: float,
         batch: int | None = None,
     ):
         """Fused render whose work signal arrives as the lossless
@@ -1121,7 +1129,8 @@ class Decoder:
         :meth:`_get_fused_render` fed the plain i16 payload."""
         from ..ops import pack as pk
 
-        key = ("fusedc", w_pad, buf_len, kind, np.float32(pct).tobytes(), batch)
+        key = ("fusedc", w_pad, w_lo, n_esc_pad, kind,
+               np.float32(pct).tobytes(), batch)
         if key in self._stage1:
             return self._stage1[key]
         self._note_compile(key)
@@ -1133,8 +1142,7 @@ class Decoder:
         coeff = pk.predictor_coeff(self.work_rate.get_hz())
 
         def pre(buf, inv_scale):
-            words, widths, anchors = pk.open_packed_device(buf, nb)
-            xi = pk.unpack_work_device(words, widths, anchors, coeff, nb)
+            xi = pk.unpack_sealed_device(buf, nb, w_lo, n_esc_pad, coeff)
             y = xi.astype(jnp.float32) * inv_scale
             if fused is not None:
                 return fused(y)
@@ -1256,7 +1264,7 @@ class Decoder:
 
             w_pad = payload.nb * pk.BLOCK
             step = self._get_fused_render_packed(
-                w_pad, payload.buf_len, contrast_kind, pct
+                w_pad, payload.w_lo, payload.n_esc_pad, contrast_kind, pct
             )
             pending = cls_p(step(
                 payload.buf, np.float32(payload.inv_scale), np.int32(work_true),
@@ -1446,20 +1454,22 @@ class Decoder:
         both buckets are uniform here by construction."""
         from ..ops import pack as pk
 
-        w_pads = {payloads[b].nb * pk.BLOCK for b in keep}
-        buf_lens = {payloads[b].buf_len for b in keep}
-        if len(w_pads) != 1 or len(buf_lens) != 1:
+        geoms = {
+            (payloads[b].nb * pk.BLOCK, payloads[b].w_lo, payloads[b].n_esc_pad)
+            for b in keep
+        }
+        if len(geoms) != 1:
             raise err.InternalError(
-                "packed decode_render_batch needs one (w_pad, buf_len) bucket, "
-                f"got {sorted(w_pads)} x {sorted(buf_lens)}"
+                "packed decode_render_batch needs one (w_pad, w_lo, n_esc_pad) "
+                f"bucket, got {sorted(geoms)}"
             )
-        w_pad, buf_len = w_pads.pop(), buf_lens.pop()
+        w_pad, w_lo, n_esc_pad = geoms.pop()
         n_live = len(keep)
         src = list(keep)
         if pad_to is not None and pad_to > n_live:
             src += [keep[-1]] * (pad_to - n_live)
         step = self._get_fused_render_packed(
-            w_pad, buf_len, contrast_kind, pct, batch=len(src)
+            w_pad, w_lo, n_esc_pad, contrast_kind, pct, batch=len(src)
         )
         bufs = tuple(payloads[b].buf for b in src)
         inv_scales = np.asarray([payloads[b].inv_scale for b in src], np.float32)

@@ -89,8 +89,11 @@ def get_lib():
             lib.apt_pack_work_i16.argtypes = [
                 ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
             ]
             lib.apt_ingest_i8.restype = ctypes.c_int64
             lib.apt_ingest_i8.argtypes = [
@@ -190,14 +193,16 @@ def pack_work_i16_native(
 ):
     """Native encoder for the host16c lossless work-signal codec
     (ops/pack.py scheme), bit-identical to ``pack.pack_work_i16``
-    (tested) at ~100x its speed.  Returns a ``PackedWork`` or None if
-    the native library is unavailable."""
+    (tested) at ~100x its speed.  Returns a ``PackedWork``, None if
+    the native library is unavailable, or the string ``"incompressible"``
+    when more than 1/4 of the blocks would escape (callers fall back
+    to the plain i16 payload without re-trying in numpy)."""
     lib = get_lib()
     if lib is None:
         return None
     import os
 
-    from ..ops.pack import BLOCK, PackedWork, predictor_coeff
+    from ..ops.pack import BLOCK, PackedWork, predictor_coeff, unit_geometry
 
     if x.dtype != np.int16:
         raise ValueError(f"pack_work_i16 needs int16 input, got {x.dtype}")
@@ -206,23 +211,35 @@ def pack_work_i16_native(
     n = int(x.shape[0])
     nb = -(-n // BLOCK)
     coeff = predictor_coeff(work_rate_hz)
-    words = np.empty(nb * 71, np.uint32)  # worst case: width 18
-    widths = np.empty(nb, np.uint8)
+    base = np.empty(nb * 63, np.uint32)  # worst-case stride (w_lo = 16)
     anchors = np.empty((nb, 2), np.int16)
+    esc_cap = nb // 4 + 1
+    esc_idx = np.empty(esc_cap, np.int32)
+    esc_rows = np.empty((esc_cap, BLOCK), np.int16)
+    n_esc = ctypes.c_int64(0)
     nthreads = threads or min(8, os.cpu_count() or 1)
-    total = lib.apt_pack_work_i16(
+    w_lo = lib.apt_pack_work_i16(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n,
         coeff,
-        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), words.shape[0],
-        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        base.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), base.shape[0],
         anchors.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        nb, nthreads,
+        esc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        esc_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        esc_cap,
+        nb, nthreads, ctypes.byref(n_esc),
     )
-    if total < 0:
+    if w_lo == -2:
+        return "incompressible"
+    if w_lo < 0:
         return None
+    _, _, _, bw = unit_geometry(int(w_lo))
+    ne = int(n_esc.value)
     return PackedWork(
-        words=words[:total].copy(), widths=widths, anchors=anchors,
-        n_samples=n, coeff=coeff,
+        base=base[: nb * bw].copy(),
+        anchors=anchors,
+        esc_idx=esc_idx[:ne].copy(),
+        esc_rows=esc_rows[:ne].copy(),
+        w_lo=int(w_lo), n_samples=n, coeff=coeff,
     )
 
 

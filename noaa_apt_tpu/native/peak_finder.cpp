@@ -309,16 +309,49 @@ int64_t apt_ingest_i8(const int16_t* x, int64_t n, int64_t l, int64_t m,
 // (ops/pack.py: the host16c serving mode).  Bit-identical to the
 // NumPy reference encoder: resonant 2-tap predictor
 //   pred[n] = (coeff * x[n-1]) >> 14 - x[n-2]   (arithmetic shift)
-// residuals packed per 128-sample block (2 raw i16 anchors + 126
-// residuals at the block's max signed width), block data word-aligned,
-// bits filling each u32 from the LSB up.  Returns total words written
-// or -1 when words_cap would be exceeded.  nb = ceil(n / 128); samples
-// past n are treated as zero (the padded-bucket contract).
-static void pack_block_range(
-    const int16_t* x, int64_t n, int32_t coeff,
-    uint32_t* words, const int64_t* block_word_off,
-    uint8_t* widths, int16_t* anchors,
-    int64_t b0, int64_t b1) {
+// residuals packed at ONE pass-level width w_lo (chosen by exact
+// byte-cost argmin over the per-block width histogram) at a fixed
+// per-block stride, unit-aligned so the device decoder needs no
+// gathers; blocks wider than w_lo ship raw as escape rows.
+static int block_width(const int16_t* x, int64_t n, int64_t b, int32_t coeff) {
+    const int64_t base = b * 128;
+    int32_t x0 = (base < n) ? x[base] : 0;
+    int32_t x1 = (base + 1 < n) ? x[base + 1] : 0;
+    int64_t mn = 0, mx = 0;
+    for (int64_t j = 0; j < 126; ++j) {
+        const int32_t x2 = (base + j + 2 < n) ? x[base + j + 2] : 0;
+        const int64_t pred =
+            ((static_cast<int64_t>(coeff) * x1) >> 14) - x0;
+        const int64_t rj = x2 - pred;
+        mn = std::min(mn, rj);
+        mx = std::max(mx, rj);
+        x0 = x1;
+        x1 = x2;
+    }
+    int w = 1;
+    while (mn < -(int64_t(1) << (w - 1)) || mx > (int64_t(1) << (w - 1)) - 1) {
+        ++w;
+    }
+    return w;
+}
+
+static int64_t gcd64(int64_t a, int64_t b) {
+    while (b) { int64_t t = a % b; a = b; b = t; }
+    return a;
+}
+
+static void block_words_geom(int w_lo, int64_t* g, int64_t* u, int64_t* bw) {
+    const int64_t d = gcd64(w_lo, 32);
+    *g = 32 / d;
+    *u = w_lo / d;
+    const int64_t n_units = (126 + *g - 1) / *g;
+    *bw = n_units * (*u);
+}
+
+static void pack_base_range(
+    const int16_t* x, int64_t n, int32_t coeff, int w_lo, int64_t bw,
+    uint32_t* base_out, int16_t* anchors, int64_t b0, int64_t b1) {
+    const uint64_t mask = (uint64_t(1) << w_lo) - 1;
     for (int64_t b = b0; b < b1; ++b) {
         const int64_t base = b * 128;
         int32_t xb[128];
@@ -328,71 +361,68 @@ static void pack_block_range(
         }
         anchors[2 * b] = static_cast<int16_t>(xb[0]);
         anchors[2 * b + 1] = static_cast<int16_t>(xb[1]);
-        int64_t r[126];
-        int64_t mn = 0, mx = 0;
+        uint32_t* wp = base_out + b * bw;
+        for (int64_t k = 0; k < bw; ++k) wp[k] = 0;
+        uint64_t acc = 0;
+        int accbits = 0;
+        int64_t wk = 0;
         for (int64_t j = 0; j < 126; ++j) {
             const int64_t pred =
                 ((static_cast<int64_t>(coeff) * xb[j + 1]) >> 14) - xb[j];
-            r[j] = xb[j + 2] - pred;
-            mn = std::min(mn, r[j]);
-            mx = std::max(mx, r[j]);
-        }
-        int w = 1;
-        while (mn < -(int64_t(1) << (w - 1)) ||
-               mx > (int64_t(1) << (w - 1)) - 1) {
-            ++w;
-        }
-        widths[b] = static_cast<uint8_t>(w);
-        uint32_t* wp = words + block_word_off[b];
-        uint64_t acc = 0;
-        int accbits = 0;
-        const uint64_t mask = (uint64_t(1) << w) - 1;
-        for (int64_t j = 0; j < 126; ++j) {
-            acc |= (static_cast<uint64_t>(r[j]) & mask) << accbits;
-            accbits += w;
-            if (accbits >= 32) {
-                *wp++ = static_cast<uint32_t>(acc & 0xFFFFFFFFu);
+            const uint64_t field =
+                static_cast<uint64_t>(xb[j + 2] - pred) & mask;
+            acc |= field << accbits;
+            accbits += w_lo;
+            while (accbits >= 32) {
+                wp[wk++] = static_cast<uint32_t>(acc & 0xFFFFFFFFu);
                 acc >>= 32;
                 accbits -= 32;
             }
         }
-        if (accbits > 0) *wp++ = static_cast<uint32_t>(acc);
+        if (accbits > 0) wp[wk++] = static_cast<uint32_t>(acc);
     }
 }
 
+// Returns the chosen w_lo (>0) and writes *out_n_esc; -1 on bad
+// arguments, -2 when more than esc_cap blocks would escape (the
+// signal is effectively incompressible; callers fall back to the
+// plain i16 payload).  nb = ceil(n/128); base_out must hold nb*63
+// words (the worst-case stride), anchors nb*2.
 int64_t apt_pack_work_i16(
     const int16_t* x, int64_t n, int32_t coeff,
-    uint32_t* words, int64_t words_cap,
-    uint8_t* widths, int16_t* anchors, int64_t nb, int64_t threads) {
+    uint32_t* base_out, int64_t base_cap,
+    int16_t* anchors,
+    int32_t* esc_idx, int16_t* esc_rows, int64_t esc_cap,
+    int64_t nb, int64_t threads, int64_t* out_n_esc) {
     if (n <= 0 || nb <= 0 || nb * 128 < n) return -1;
-    // Pass 1: widths only (cheap) to derive word offsets, so pass 2
-    // can pack blocks in parallel at independent offsets.
-    std::vector<int64_t> off(nb + 1, 0);
+    // Pass 1: per-block widths -> exact cost argmin for w_lo.
+    std::vector<int8_t> wb(nb);
+    std::vector<int> hist(40, 0);
     for (int64_t b = 0; b < nb; ++b) {
-        const int64_t base = b * 128;
-        int32_t x0 = (base < n) ? x[base] : 0;
-        int32_t x1 = (base + 1 < n) ? x[base + 1] : 0;
-        int64_t mn = 0, mx = 0;
-        for (int64_t j = 0; j < 126; ++j) {
-            const int32_t x2 =
-                (base + j + 2 < n) ? x[base + j + 2] : 0;
-            const int64_t pred =
-                ((static_cast<int64_t>(coeff) * x1) >> 14) - x0;
-            const int64_t rj = x2 - pred;
-            mn = std::min(mn, rj);
-            mx = std::max(mx, rj);
-            x0 = x1;
-            x1 = x2;
-        }
-        int w = 1;
-        while (mn < -(int64_t(1) << (w - 1)) ||
-               mx > (int64_t(1) << (w - 1)) - 1) {
-            ++w;
-        }
-        off[b + 1] = off[b] + ((126 * w + 31) >> 5);
+        wb[b] = static_cast<int8_t>(block_width(x, n, b, coeff));
+        ++hist[wb[b]];
     }
-    const int64_t total = off[nb];
-    if (total > words_cap) return -1;
+    int best_w = 16;
+    int64_t best_cost = -1;
+    for (int w = 4; w <= 16; ++w) {
+        int64_t g, u, bw;
+        block_words_geom(w, &g, &u, &bw);
+        int64_t n_esc = 0;
+        for (size_t k = w + 1; k < hist.size(); ++k) n_esc += hist[k];
+        const int64_t cost = nb * bw * 4 + n_esc * (1 + 64) * 4;
+        if (best_cost < 0 || cost < best_cost) {
+            best_w = w;
+            best_cost = cost;
+        }
+    }
+    int64_t g, u, bw;
+    block_words_geom(best_w, &g, &u, &bw);
+    if (nb * bw > base_cap) return -1;
+    int64_t n_esc_total = 0;
+    for (size_t k = best_w + 1; k < hist.size(); ++k) n_esc_total += hist[k];
+    if (n_esc_total > esc_cap) return -2;
+
+    // Pass 2: fixed-stride base packing, threaded.
     const int64_t nthreads = std::max<int64_t>(1, std::min<int64_t>(threads, 16));
     const int64_t chunk = (nb + nthreads - 1) / nthreads;
     {
@@ -400,14 +430,27 @@ int64_t apt_pack_work_i16(
         for (int64_t t = 1; t < nthreads; ++t) {
             const int64_t b0 = t * chunk, b1 = std::min(nb, b0 + chunk);
             if (b0 >= b1) break;
-            pool.emplace_back(pack_block_range, x, n, coeff, words,
-                              off.data(), widths, anchors, b0, b1);
+            pool.emplace_back(pack_base_range, x, n, coeff, best_w, bw,
+                              base_out, anchors, b0, b1);
         }
-        pack_block_range(x, n, coeff, words, off.data(), widths, anchors,
-                         0, std::min(nb, chunk));
+        pack_base_range(x, n, coeff, best_w, bw, base_out, anchors,
+                        0, std::min(nb, chunk));
         for (auto& th : pool) th.join();
     }
-    return total;
+    // Escape rows (few): raw 128-sample blocks, serial collect.
+    int64_t ne = 0;
+    for (int64_t b = 0; b < nb && ne < n_esc_total; ++b) {
+        if (wb[b] > best_w) {
+            esc_idx[ne] = static_cast<int32_t>(b);
+            for (int64_t j = 0; j < 128; ++j) {
+                const int64_t i = b * 128 + j;
+                esc_rows[ne * 128 + j] = (i < n) ? x[i] : 0;
+            }
+            ++ne;
+        }
+    }
+    *out_n_esc = ne;
+    return best_w;
 }
 
 // Telemetry best-frame scan (reference telemetry.rs:201-227): first

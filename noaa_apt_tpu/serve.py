@@ -449,7 +449,7 @@ def decode_fleet(
                 # graph with i8 batchmates.  Packed (host16c) payloads
                 # group by their own (block, word) buckets.
                 if isinstance(work, PackedWorkPayload):
-                    key = ("packed", work.nb, work.buf_len)
+                    key = ("packed", work.nb, work.w_lo, work.n_esc_pad)
                 else:
                     key = (
                         pad_bucket(work.work_true),
