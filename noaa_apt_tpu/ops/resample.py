@@ -136,13 +136,27 @@ def _dot_vmem_ok(B: int, K: int, N: int) -> bool:
     return 4 * (B * K + K * N + B * N) <= 12 << 20
 
 
+def dot_precision():
+    """MXU precision for the resample dots.  Default HIGHEST (6-pass
+    bf16 = full f32); ``NOAA_APT_INGEST_DOT=high`` selects the 3-pass
+    mode (~2x MXU throughput, ~1e-6 relative noise — an engine-tuning
+    experiment flag; the byte-exactness contracts are all relative to
+    whatever precision the process runs, since every path shares this
+    function)."""
+    import os
+
+    if os.environ.get("NOAA_APT_INGEST_DOT", "").lower() == "high":
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.HIGHEST
+
+
 def _blocked_dot(lhs3: jnp.ndarray, rhs) -> jnp.ndarray:
     """[nb, B, K] x [K, N] -> [nb, B, N] f32 with per-block results
     independent of nb (see BLOCK_ROWS).  ``rhs`` may be a host array."""
     nb, B, K = lhs3.shape
     rhs = jnp.asarray(rhs, jnp.float32)
     N = rhs.shape[1]
-    hi = jax.lax.Precision.HIGHEST
+    hi = dot_precision()
     # The kernel keeps rhs + one lhs block + one out block in VMEM
     # (~16 MB/core); exotic rate pairs with oversized kernels fall back
     # to the einsum (never hit by the standard profile/rate matrix).
