@@ -127,6 +127,31 @@ def _time_runs(fn, n_warm: int, n_run: int, label: str) -> float:
     return _median(times)
 
 
+REF_LINK_MBPS = 35.0
+
+
+def x_at_ref_link(
+    decoded_s: float, wall_s: float, link: dict, ref_mbps: float = REF_LINK_MBPS
+) -> float | None:
+    """Tunnel-mood-independent realtime factor: replace the MEASURED
+    wire-busy time of a run (the transfer gate accounts every chunk)
+    with the time the same bytes would take on a fixed reference link.
+
+    Non-wire time is clamped at zero: concurrent up/down transfers
+    both accrue wire wall, so (wall - wire) can go negative on a
+    collapsed link — crediting that overlap would inflate the
+    projection unphysically.  The figure is therefore CONSERVATIVE:
+    fully serial wire at the reference speed plus the measured
+    non-wire remainder."""
+    wire_s = (link.get("up_wall_s") or 0.0) + (link.get("down_wall_s") or 0.0)
+    moved_mb = (link.get("uploaded_MB") or 0.0) + (link.get("fetched_MB") or 0.0)
+    if moved_mb <= 0:
+        return None
+    non_wire = max(0.0, wall_s - wire_s)
+    norm_wall = non_wire + moved_mb / ref_mbps
+    return decoded_s / norm_wall if norm_wall > 0 else None
+
+
 def _link_probe(n_bytes: int) -> tuple[float, float]:
     """Measured host->device and device->host bandwidth (MB/s) through
     the same API path the decoder uses."""
@@ -368,31 +393,20 @@ def main():
     down_bytes = total_rows * 2080
 
     # Tunnel-mood-independent comparison figure (VERDICT r4 item 4):
-    # replace the MEASURED wire-busy time of the median run (the
-    # transfer gate accounts every chunk) with the time the same bytes
-    # would take on a fixed 35 MB/s reference link.  Rounds are then
-    # comparable even when the tunnel swings 17-48 MB/s.
-    REF_LINK_MBPS = 35.0
+    # see x_at_ref_link.  Rounds are comparable even when the tunnel
+    # swings 10-50 MB/s.
     decoded_s_fleet = total_rows / 2.0
-
-    def x_at_ref_link(mode: str) -> float | None:
-        lk = links_by_mode.get(mode) or {}
-        wire_s = (lk.get("up_wall_s") or 0.0) + (lk.get("down_wall_s") or 0.0)
-        moved_mb = (lk.get("uploaded_MB") or 0.0) + (lk.get("fetched_MB") or 0.0)
-        if moved_mb <= 0:
-            return None
-        # Non-wire time is clamped at zero: concurrent up/down transfers
-        # both accrue wire wall, so (wall - wire) can go negative on a
-        # collapsed link — crediting that overlap to the reference-link
-        # projection would inflate it unphysically.  The figure is thus
-        # CONSERVATIVE: it assumes fully serial wire time at 35 MB/s
-        # and only the measured non-wire remainder on top.
-        non_wire = max(0.0, wall_by_mode[mode] - wire_s)
-        norm_wall = non_wire + moved_mb / REF_LINK_MBPS
-        return decoded_s_fleet / norm_wall if norm_wall > 0 else None
-
     fleet_x_ref_link = {
-        k: (round(v, 1) if (v := x_at_ref_link(k)) is not None else None)
+        k: (
+            round(v, 1)
+            if (
+                v := x_at_ref_link(
+                    decoded_s_fleet, wall_by_mode[k], links_by_mode.get(k) or {}
+                )
+            )
+            is not None
+            else None
+        )
         for k in fleet_by_mode
     }
 

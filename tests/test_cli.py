@@ -452,3 +452,36 @@ def test_manpage_tracks_parser():
     for a in parser._actions:
         for opt in a.option_strings:
             assert opt.replace("-", "\\-") in text, f"option {opt} missing from manpage"
+
+
+def test_bench_normalized_metric_math():
+    """The 35 MB/s-normalized figure (the cross-round comparison number
+    in the bench JSON) is conservative and well-behaved: wire time is
+    swapped byte-for-byte, non-wire time never goes negative, and
+    degenerate link accounting returns None instead of nonsense."""
+    import importlib.util
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location("benchmod", root / "bench.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    # A run that moved 140 MB in a 20 MB/s window: wall 8 s of which
+    # 7 s wire.  At 35 MB/s the same bytes take 4 s -> norm wall 5 s.
+    lk = {"up_wall_s": 6.0, "down_wall_s": 1.0, "uploaded_MB": 120.0, "fetched_MB": 20.0}
+    x = m.x_at_ref_link(4800.0, 8.0, lk)
+    assert abs(x - 4800.0 / 5.0) < 1e-9
+
+    # Collapsed link where concurrent up/down wire walls EXCEED the
+    # wall: the overlap must not be credited (non-wire clamps to 0).
+    lk2 = {"up_wall_s": 9.0, "down_wall_s": 4.0, "uploaded_MB": 120.0, "fetched_MB": 20.0}
+    x2 = m.x_at_ref_link(4800.0, 11.5, lk2)
+    assert abs(x2 - 4800.0 / 4.0) < 1e-9
+
+    # Faster-than-reference window normalizes DOWN, not up.
+    lk3 = {"up_wall_s": 1.0, "down_wall_s": 0.5, "uploaded_MB": 120.0, "fetched_MB": 20.0}
+    x3 = m.x_at_ref_link(4800.0, 2.5, lk3)
+    assert x3 < 4800.0 / 2.5
+
+    # No bytes accounted -> no projection.
+    assert m.x_at_ref_link(4800.0, 5.0, {}) is None
