@@ -155,6 +155,34 @@ def check_combo(profile, rate_hz: int, n_rows: int) -> None:
     log(f"{tag}: batched fused matches per element"
         + (" (<=1 LSB knife-edge tolerance)" if on_tpu else " byte-exact"))
 
+    # -- 6: packed-codec (host16c) fused render vs plain host16 --------
+    # The in-graph codec decoder must reconstruct the bit-identical
+    # i16 work signal ON THIS BACKEND (gather-free static unpack +
+    # scan + escape scatter), making the u8 output byte-equal.
+    from noaa_apt_tpu.graph.decode import PackedWorkPayload
+
+    sig16 = np.clip(
+        np.round(signal / np.abs(signal).max() * 32767), -32768, 32767
+    ).astype(np.int16)
+    dec16 = Decoder(profile, ingest="host16")
+    decc = Decoder(profile, ingest="host16c")
+    w16 = dec16.prepare_work(sig16, rate, to_device=True)
+    wc = decc.prepare_work(sig16, rate, to_device=True)
+    if isinstance(wc, PackedWorkPayload):
+        g16, s16 = dec16.decode_render(w16, "percent", 0.98)
+        gc, sc = decc.decode_render(wc, "percent", 0.98)
+        assert sc == s16, f"{tag}: packed-codec sync peaks != host16"
+        np.testing.assert_array_equal(
+            gc, g16, err_msg=f"{tag}: packed-codec u8 != host16"
+        )
+        log(f"{tag}: host16c packed render byte-equal to host16")
+    else:
+        # The synth noise level can sit past the codec's decline
+        # threshold for some (profile, rate) combos — that fallback is
+        # itself contract behavior, but note it.
+        log(f"{tag}: host16c declined (incompressible at this noise); "
+            "plain-i16 fallback exercised")
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
