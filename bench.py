@@ -9,11 +9,16 @@ with supplementary keys quantifying where the time goes:
   (serve.decode_fleet), best serving mode of: ``device`` (raw i16
   upload, zero host DSP), ``host``/``host16`` (native C++ ingest,
   f32 / i16-quantized upload — host16 is the production mode, ~90 dB
-  SNR), and ``host8`` (i8 upload, ~42 dB SNR — lossy; only
-  headline-eligible when its measured output PSNR vs the exact
-  pipeline is >= 40 dB, reported as ``fleet_host8_psnr_db``) —
-  BASELINE config 5's throughput scaling.  Per-mode medians are in
-  ``fleet_by_mode``.
+  SNR), ``host16c`` (host16 plus the lossless residual codec,
+  ops/pack.py — byte-identical output at fewer bytes; only
+  headline-eligible when its PNGs hash-match host16's in the same
+  run, ``fleet_host16c_bit_exact``), and ``host8`` (i8 upload,
+  ~42 dB SNR — lossy; only headline-eligible when its measured
+  output PSNR vs the exact pipeline is >= 40 dB, reported as
+  ``fleet_host8_psnr_db``) — BASELINE config 5's throughput scaling.
+  Per-mode medians are in ``fleet_by_mode``; the cross-round
+  comparison figure is ``fleet_x_at_35MBps_link`` (see
+  :func:`x_at_ref_link`), and ``conformance`` gates the metric name.
 - ``single_pass_host_ingest_x`` / ``single_pass_device_ingest_x``:
   end-to-end single-pass realtime factors with the input polyphase on
   the host C++ path vs fully on-device (VERDICT r1 item 4: both
