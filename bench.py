@@ -142,12 +142,16 @@ def x_at_ref_link(
     wire-busy time of a run (the transfer gate accounts every chunk)
     with the time the same bytes would take on a fixed reference link.
 
-    Non-wire time is clamped at zero: concurrent up/down transfers
-    both accrue wire wall, so (wall - wire) can go negative on a
-    collapsed link — crediting that overlap would inflate the
-    projection unphysically.  The figure is therefore CONSERVATIVE:
-    fully serial wire at the reference speed plus the measured
-    non-wire remainder."""
+    Non-wire time is clamped at zero (concurrent up/down transfers
+    both accrue wire wall, so (wall - wire) can go negative).  When a
+    run is fully wire-overlapped (wire >= wall), the figure therefore
+    equals the pure byte floor at the reference link — an idealization
+    that may overstate by whatever non-wire work was hidden under the
+    slow wire and would bind at the faster one.  Empirically that
+    error is small here: the round-4 real ~35-40 MB/s window measured
+    host16 fleet walls within ~10% of its byte floor, and the
+    per-mode stage attributions (fleet_stages_by_mode) expose the
+    non-wire components for the skeptical reader."""
     wire_s = (link.get("up_wall_s") or 0.0) + (link.get("down_wall_s") or 0.0)
     moved_mb = (link.get("uploaded_MB") or 0.0) + (link.get("fetched_MB") or 0.0)
     if moved_mb <= 0:

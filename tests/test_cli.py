@@ -456,9 +456,10 @@ def test_manpage_tracks_parser():
 
 def test_bench_normalized_metric_math():
     """The 35 MB/s-normalized figure (the cross-round comparison number
-    in the bench JSON) is conservative and well-behaved: wire time is
-    swapped byte-for-byte, non-wire time never goes negative, and
-    degenerate link accounting returns None instead of nonsense."""
+    in the bench JSON) is well-behaved: wire time is swapped
+    byte-for-byte, non-wire time never goes negative (a fully
+    wire-overlapped run projects to its byte floor at the reference
+    link), and degenerate link accounting returns None."""
     import importlib.util
 
     root = Path(__file__).resolve().parent.parent
