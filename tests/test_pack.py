@@ -262,3 +262,42 @@ def test_host16c_incompressible_falls_back():
     # Misaligned bucket (not a BLOCK multiple) also declines.
     decc2 = Decoder(STANDARD, ingest="host16c")
     assert decc2._pack_payload(np.zeros(pk.BLOCK + 1, np.int16), 10, 1.0) is None
+
+
+def test_host16c_telemetry_render_byte_equals_host16():
+    """Telemetry-contrast fused path (wedge math on host between two
+    fetches) through the packed payload: byte-equal to host16."""
+    from noaa_apt_tpu.core.frequency import Rate
+    from noaa_apt_tpu.core.profiles import STANDARD
+    from noaa_apt_tpu.graph.decode import Decoder, PackedWorkPayload
+    from noaa_apt_tpu.synth import synth_recording
+
+    sig, _ = synth_recording(n_rows=208, sample_rate=11025, noise_db=30.0, seed=2)
+    sig16 = np.clip(
+        np.round(sig / np.abs(sig).max() * 32767), -32768, 32767
+    ).astype(np.int16)
+    rate = Rate(11025)
+    dec16 = Decoder(STANDARD, ingest="host16")
+    decc = Decoder(STANDARD, ingest="host16c")
+    w16 = dec16.prepare_work(sig16, rate, to_device=True)
+    wc = decc.prepare_work(sig16, rate, to_device=True)
+    assert isinstance(wc, PackedWorkPayload)
+    g16, s16 = dec16.decode_render(w16, "telemetry")
+    gc, sc = decc.decode_render(wc, "telemetry")
+    assert sc == s16
+    np.testing.assert_array_equal(gc, g16)
+
+
+def test_host16c_fleet_telemetry_grouped(tmp_path):
+    """Grouped batched dispatch with telemetry contrast over packed
+    payloads (PendingRenderTelemetryBatch path) — byte-equal PNGs."""
+    from noaa_apt_tpu.serve import decode_fleet
+    from noaa_apt_tpu.types import Contrast
+
+    paths = _wav_fleet(tmp_path, n=3, n_rows=208, noise_db=30.0)
+    tel = Contrast.telemetry()
+    rep16 = decode_fleet(paths, tmp_path / "t16", ingest="host16", contrast=tel)
+    repc = decode_fleet(paths, tmp_path / "tc", ingest="host16c", contrast=tel)
+    assert not rep16.failed and not repc.failed
+    for f in sorted((tmp_path / "t16").glob("*.png")):
+        assert f.read_bytes() == (tmp_path / "tc" / f.name).read_bytes(), f.name
