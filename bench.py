@@ -303,7 +303,7 @@ def main():
         "host8": FLEET_N * work_len,
     }
     fleet_by_mode, stages_by_mode, wall_by_mode, trials_by_mode = {}, {}, {}, {}
-    links_by_mode = {}
+    links_by_mode, rows_by_mode = {}, {}
     total_rows = 0
     ref_imgs: dict = {}
     fleet_psnr_db = None
@@ -339,7 +339,11 @@ def main():
         fleet_by_mode[mode] = report.decoded_seconds / med
         wall_by_mode[mode] = med
         trials_by_mode[mode] = [round(w, 2) for w in walls]
-        total_rows = sum(r.n_rows for r in report.ok)
+        rows_by_mode[mode] = sum(r.n_rows for r in report.ok)
+        # A mode with per-pass failures (e.g. a tunnel hiccup on the
+        # device mode's 460 MB trials) must not deflate every mode's
+        # decoded-seconds numerator below.
+        total_rows = max(total_rows, rows_by_mode[mode])
         from PIL import Image
 
         if mode in ("host16c", "host16"):
@@ -403,14 +407,17 @@ def main():
 
     # Tunnel-mood-independent comparison figure (VERDICT r4 item 4):
     # see x_at_ref_link.  Rounds are comparable even when the tunnel
-    # swings 10-50 MB/s.
-    decoded_s_fleet = total_rows / 2.0
+    # swings 10-50 MB/s.  Each mode's numerator is ITS OWN decoded
+    # seconds (a mode with per-pass failures must not claim the full
+    # fleet's).
     fleet_x_ref_link = {
         k: (
             round(v, 1)
             if (
                 v := x_at_ref_link(
-                    decoded_s_fleet, wall_by_mode[k], links_by_mode.get(k) or {}
+                    rows_by_mode.get(k, 0) / 2.0,
+                    wall_by_mode[k],
+                    links_by_mode.get(k) or {},
                 )
             )
             is not None
@@ -433,11 +440,14 @@ def main():
 
     # Upload bytes of the best mode: the gate's measured accounting when
     # available (exact for the content-dependent host16c codec),
-    # otherwise the static byte model.
+    # otherwise the static byte model; host16c's static fallback is
+    # host16's (the codec never ships more — the 0.97x guard).
     up_bytes = up_bytes_by_mode[best_mode]
     gate_mb = (links_by_mode.get(best_mode) or {}).get("uploaded_MB")
     if gate_mb:
         up_bytes = int(gate_mb * 1e6)
+    if up_bytes is None:
+        up_bytes = up_bytes_by_mode["host16"]
     predicted_wall = up_bytes / 1e6 / up_mbps + down_bytes / 1e6 / down_mbps
 
     # -- 5. compute-only: raw i16 resident on chip, scalar checksum out.

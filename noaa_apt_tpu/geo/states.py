@@ -80,8 +80,6 @@ def prefetch_states_async() -> None:
     failure is memoized exactly as in the synchronous path."""
     if _prefetch_thread[0] is not None:
         return
-    import threading
-
     t = threading.Thread(target=get_states_shp, daemon=True, name="states-prefetch")
     _prefetch_thread[0] = t
     t.start()

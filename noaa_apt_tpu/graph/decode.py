@@ -709,17 +709,23 @@ class Decoder:
             if w_pad > 2_000_000:
                 return None  # numpy encoder too slow for serving sizes
             p = pk.pack_work_i16(buf_padded, self.work_rate.get_hz())
-        if p.nbytes >= 0.97 * buf_padded.nbytes:
-            log.info(
-                "host16c: signal does not compress (%.2fx); using plain i16",
-                p.nbytes / buf_padded.nbytes,
-            )
-            return None
         nb = w_pad // pk.BLOCK
         # Escape-count bucket: a jit-variant knob; bucketing keeps a
         # fleet of similar passes on ONE graph while a pathological
         # pass still decodes (at its own variant's cost).
         n_esc_pad = pad_bucket(max(4, len(p.esc_idx)))
+        # The eligibility guard counts the bytes that actually ship —
+        # the SEALED size including escape-slot padding — not the raw
+        # pack (a near-threshold pass just past a pad_bucket boundary
+        # could otherwise upload more than plain i16 while claiming
+        # the codec mode).
+        sealed_bytes = pk.sealed_len(nb, p.w_lo, n_esc_pad) * 4
+        if sealed_bytes >= 0.97 * buf_padded.nbytes:
+            log.info(
+                "host16c: signal does not compress (%.2fx sealed); "
+                "using plain i16", sealed_bytes / buf_padded.nbytes,
+            )
+            return None
         sealed = pk.seal_packed(p, n_esc_pad)
         return PackedWorkPayload(
             buf=link_io.upload(sealed),
@@ -1284,8 +1290,7 @@ class Decoder:
             wbuf[:work_true] = payload.data
             wdev = jnp.asarray(wbuf)
         inv_scale = np.float32(payload.inv_scale if quantized else 1.0)
-        cls = PendingRenderTelemetry if contrast_kind == "telemetry" else PendingRender
-        pending = cls(step(wdev, inv_scale, np.int32(work_true)))
+        pending = cls_p(step(wdev, inv_scale, np.int32(work_true)))
         return pending.get() if fetch else pending
 
     def decode_render_input(
@@ -1381,7 +1386,15 @@ class Decoder:
                 tuple(np.zeros((0,) * 3, np.float32) for _ in range(4)),
                 errors=errors,
             )
-        if isinstance(payloads[keep[0]], PackedWorkPayload):
+        n_packed = sum(isinstance(payloads[b], PackedWorkPayload) for b in keep)
+        if n_packed and n_packed != len(keep):
+            # serve's group key prevents this; give external callers a
+            # real error instead of an AttributeError downstream.
+            raise err.InternalError(
+                "decode_render_batch cannot mix packed (host16c) and plain "
+                "work payloads in one batch"
+            )
+        if n_packed:
             return self._decode_render_batch_packed(
                 payloads, keep, errors, contrast_kind, pct, fetch, pad_to, bcls
             )

@@ -26,9 +26,11 @@ Design (all transfers for the serving path route through here):
 - **Blocking**: the gate blocks until each chunk is device-resident.
   Callers (loader threads) therefore report honest upload walls, and
   downstream stages observe passes in completion order.
-- **Throughput accounting**: per-chunk rates feed an EWMA the serving
-  pipeline reads to adapt its dispatch grouping when the link
-  collapses mid-run (`link_stats()`).
+- **Throughput accounting**: per-upload rates (pause-corrected) feed
+  `link_stats()` — the bench's per-mode link attribution and
+  normalized metric, and a diagnostic `degraded_factor()`.  The
+  serving pipeline's own adaptation is structural (age-bounded
+  dispatch groups in serve.py), not rate-triggered.
 
 The gate is process-global: every Decoder/serve path shares one link.
 """
@@ -152,8 +154,10 @@ def link_stats() -> dict:
 
 def degraded_factor() -> float | None:
     """How far the link has fallen below this epoch's opening rate
-    (>=1.0; None until both rates exist).  The serving pipeline shrinks
-    its dispatch groups when this grows past ~2."""
+    (>=1.0; None until both rates exist).  Diagnostic/observability —
+    the serving pipeline adapts structurally (age-bounded groups in
+    serve.py) rather than reading this, because per-upload rates also
+    absorb scheduling noise a rate trigger would misread."""
     op = _stats.opening_mbps()
     cur = _stats.rate_mbps("up")
     if not op or not cur or cur <= 0:
@@ -186,61 +190,65 @@ def upload(buf: np.ndarray, chunked: bool = True):
     gate; returns the device array (bit-identical to a plain
     ``jax.device_put(buf)``).  Blocks until resident.
 
-    Chunks pipeline at depth 2: the next chunk's transfer is issued
-    while the previous one drains, so the wire never idles on the
-    issue/complete round trip, yet at most ~2 chunks ride ahead of a
-    pending fetch.  Throughput accounting is per ``upload()`` call
-    (first issue to last completion), so the epoch-effective rate the
-    bench normalizes with stays honest under the overlap."""
+    The gate (``_upload_busy``) is held for the WHOLE upload — one
+    recording's transfer owns the wire at a time (device_put issues
+    asynchronously, so releasing between chunks would let N loader
+    threads interleave 2N chunks on the wire and void the serialized-
+    upload invariant).  Within the call, chunks pipeline at depth 2 so
+    the wire never idles on the issue/complete round trip; a pending
+    fetch pauses issuance at the next chunk boundary (fetchers do not
+    take the upload gate).  Throughput accounting: gate-acquire to
+    final drain, MINUS time spent paused for fetches — the recorded
+    wire wall approximates actual wire occupancy, which the bench's
+    normalized metric relies on."""
     import jax
 
     global _upload_busy
     nbytes = buf.nbytes
     cb = _chunk_bytes()
-    if not chunked or buf.ndim != 1 or nbytes <= cb:
-        with _cond:
-            while _fetch_waiting > 0 or _upload_busy:
-                _cond.wait()
-            _upload_busy = True
-        t0 = time.time()
-        try:
+    with _cond:
+        while _fetch_waiting > 0 or _upload_busy:
+            _cond.wait()
+        _upload_busy = True
+    t_start = time.time()
+    paused = 0.0
+    try:
+        if not chunked or buf.ndim != 1 or nbytes <= cb:
             if _chunk_hook is not None:
                 _chunk_hook(nbytes)
             d = jax.device_put(buf)
             d.block_until_ready()
-        finally:
-            with _cond:
-                _upload_busy = False
-                _cond.notify_all()
-        _stats.record(nbytes, time.time() - t0, "up")
-        return d
+            _stats.record(nbytes, time.time() - t_start, "up")
+            return d
 
-    elems = max(1, cb // max(1, buf.itemsize))
-    devs: list = []
-    inflight: deque = deque()  # device arrays issued, not yet drained
-    t_start = time.time()
-    for start in range(0, buf.shape[0], elems):
-        chunk = buf[start : start + elems]
-        with _cond:
-            while _fetch_waiting > 0 or _upload_busy:
-                _cond.wait()
-            _upload_busy = True
-        try:
+        elems = max(1, cb // max(1, buf.itemsize))
+        devs: list = []
+        inflight: deque = deque()  # device arrays issued, not yet drained
+        for start in range(0, buf.shape[0], elems):
+            chunk = buf[start : start + elems]
+            # Fetch priority: pause issuance (still owning the upload
+            # gate — fetchers never wait on it) until fetches clear.
+            with _cond:
+                if _fetch_waiting > 0:
+                    tp = time.time()
+                    while _fetch_waiting > 0:
+                        _cond.wait()
+                    paused += time.time() - tp
             if _chunk_hook is not None:
                 _chunk_hook(chunk.nbytes)
             d = jax.device_put(chunk)  # async issue; the wire pipelines
-        finally:
-            with _cond:
-                _upload_busy = False
-                _cond.notify_all()
-        inflight.append(d)
-        devs.append(d)
-        if len(inflight) >= 2:
+            inflight.append(d)
+            devs.append(d)
+            if len(inflight) >= 2:
+                inflight.popleft().block_until_ready()
+        while inflight:
             inflight.popleft().block_until_ready()
-    while inflight:
-        inflight.popleft().block_until_ready()
-    _stats.record(nbytes, time.time() - t_start, "up")
-    return _concat(devs)
+        _stats.record(nbytes, max(1e-6, time.time() - t_start - paused), "up")
+        return _concat(devs)
+    finally:
+        with _cond:
+            _upload_busy = False
+            _cond.notify_all()
 
 
 def fetch(tree):

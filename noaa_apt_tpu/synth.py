@@ -157,10 +157,11 @@ def impair(
     if dropouts:
         floor = 0.02 * peak
         for start_s, dur_s in dropouts:
-            a = int(start_s * sample_rate)
-            b = min(len(sig), a + int(dur_s * sample_rate))
-            sig[a:b] = rng.normal(0.0, floor, b - a)
-    if dc_drift:
+            a = min(len(sig), max(0, int(start_s * sample_rate)))
+            b = min(len(sig), a + max(0, int(dur_s * sample_rate)))
+            if b > a:  # spans past the recording are clamped/ignored
+                sig[a:b] = rng.normal(0.0, floor, b - a)
+    if dc_drift and len(sig) > 1:
         t = np.arange(len(sig)) / sample_rate
         sig += dc_drift * peak * (
             0.6 * np.sin(2 * np.pi * 0.1 * t) + 0.4 * t / t[-1]
