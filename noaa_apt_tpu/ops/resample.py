@@ -225,7 +225,16 @@ def _pack_factor(l: int, m: int, n_taps: int) -> int:
 def _mode_for(l: int, m: int, n_taps: int) -> tuple[str, int]:
     """(mode, j_pack) for an (l, m, taps) resample — shared by
     :func:`resample_plan` and :func:`out_alignment` so the sharded
-    path's alignment always matches the mode actually compiled."""
+    path's alignment always matches the mode actually compiled.
+
+    Backend-dependent for the large-L regime (44100/22050 Hz inputs,
+    l = 208/416): per-output gather-dot is the right shape on CPU
+    (exact MAC count), but TPU has no hardware gather — measured
+    2,170 ms/pass there vs ~1 ms for the 3-dot blocked matmul, which
+    wastes ~300x MACs on a mostly-zero kernel yet rides the MXU.
+    Both backends stay internally consistent (chunk alignment,
+    batched/unbatched and sharded contracts all derive from this one
+    function); CPU-minted goldens are unaffected."""
     t_max = (n_taps - 1 - 0) // l + 1  # taps per phase (upper bound)
     packed_w = m + t_max + 2
     if packed_w <= 512 or l <= 64:
@@ -238,6 +247,13 @@ def _mode_for(l: int, m: int, n_taps: int) -> tuple[str, int]:
             if j_pack > 1:
                 mode = "matmul_packed"
         return mode, j_pack
+    if (
+        jax.default_backend() == "tpu"
+        and l > 1
+        and m >= 16
+        and _dot_vmem_ok(BLOCK_ROWS, m, l)
+    ):
+        return "matmul", 1
     return "gather", 1
 
 
