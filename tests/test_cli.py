@@ -144,6 +144,16 @@ def test_ingest_host_flag(env):
     assert Image.open("ih.png").width == 2080
 
 
+def test_ingest_host16c_flag(env):
+    """CLI single-pass through the packed-codec ingest: byte-identical
+    PNG to --ingest host16 (the codec's whole contract)."""
+    assert inner_main(["-q", "test_11025hz.wav", "--ingest", "host16", "-o", "i16.png"]) == 0
+    assert inner_main(["-q", "test_11025hz.wav", "--ingest", "host16c", "-o", "i16c.png"]) == 0
+    a = Path("i16.png").read_bytes()
+    b = Path("i16c.png").read_bytes()
+    assert a == b
+
+
 def test_invalid_args(env, capsys):
     assert inner_main(["-q", "test_11025hz.wav", "-c", "bogus"]) == 0
     assert "Invalid contrast" in capsys.readouterr().out
