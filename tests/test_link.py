@@ -171,3 +171,39 @@ def test_fleet_degrades_proportionally_under_throttle(tmp_path, monkeypatch, ing
         a = (tmp_path / "fast" / f.name).read_bytes()
         b = (tmp_path / "slow" / f.name).read_bytes()
         assert a == b, f"output {f.name} differs across link speeds"
+
+
+def test_concurrent_uploads_do_not_interleave(monkeypatch):
+    """The gate owns the wire for a WHOLE upload: chunks of different
+    concurrent uploads must never interleave (device_put issues
+    asynchronously, so releasing between chunks would put 2N chunks of
+    N threads in flight and void the serialized-upload invariant the
+    round-5 review caught)."""
+    monkeypatch.setenv("NOAA_APT_LINK_CHUNK_MB", "0.02")
+    order = []
+    lock = threading.Lock()
+
+    def hook(nbytes):
+        with lock:
+            order.append(threading.current_thread().name)
+        time.sleep(0.002)
+
+    monkeypatch.setattr(link_io, "_chunk_hook", hook)
+
+    def worker(name):
+        buf = np.zeros(200_000, np.int16)  # ~20 chunks at 20 kB
+        link_io.upload(buf)
+
+    threads = [
+        threading.Thread(target=worker, args=(f"up{i}",), name=f"up{i}")
+        for i in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(order) >= 30
+    # Each thread's chunks must form one contiguous run in the issue
+    # order (i.e. at most 3 "segments" for 3 uploads).
+    segments = 1 + sum(1 for a, b in zip(order, order[1:]) if a != b)
+    assert segments == 3, f"uploads interleaved: {segments} segments in {order}"
