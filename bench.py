@@ -182,6 +182,28 @@ def _link_probe(n_bytes: int) -> tuple[float, float]:
     return mb / _median(up_times), mb / _median(down_times)
 
 
+# Total-wall budget: in a collapsed tunnel window the full protocol
+# (5-mode median-of-5 fleets + engine + conformance) measured ~50 min;
+# a driver-side kill would lose the ENTIRE capture (the JSON prints
+# last).  Sections therefore self-trim when the budget runs down:
+# fleet trials drop 5 -> 3 past 50% budget, and the conformance sweep
+# drops to one combo past 75%.  Override: NOAA_APT_BENCH_BUDGET_S.
+_T_BENCH_START = time.time()
+
+
+def _budget_s() -> float:
+    import os
+
+    try:
+        return float(os.environ.get("NOAA_APT_BENCH_BUDGET_S", "2400"))
+    except ValueError:
+        return 2400.0
+
+
+def _budget_frac() -> float:
+    return (time.time() - _T_BENCH_START) / _budget_s()
+
+
 def _run_conformance() -> dict:
     """VERDICT r4 item 2: the FMA/1-ulp bit-stability canaries run in
     the SAME process/backend as the headline measurement, so a numerics
@@ -206,6 +228,9 @@ def _run_conformance() -> dict:
     from noaa_apt_tpu.core.profiles import STANDARD
 
     combos = [(STANDARD, 11025, 208), (STANDARD, 48000, 208)]
+    if _budget_frac() > 0.75:
+        log(f"conformance: budget {_budget_frac():.0%} spent, one combo only")
+        combos = combos[:1]
     result = {
         "pass": True,
         "n_combos": len(combos),
@@ -326,7 +351,11 @@ def main():
     for mode in ("host16c", "host16", "host", "host8", "device"):
         run_fleet(mode)  # warmup (compiles, page cache)
         walls, stages_runs, links_runs = [], [], []
-        for i in range(5 if mode != "device" else 3):
+        n_trials = 5 if mode != "device" else 3
+        if _budget_frac() > 0.5:
+            n_trials = 3  # collapsed window: keep the capture alive
+            log(f"fleet/{mode}: budget {_budget_frac():.0%} spent, 3 trials")
+        for i in range(n_trials):
             t0 = time.time()
             run_fleet(mode)
             walls.append(time.time() - t0)
