@@ -232,7 +232,14 @@ def _i8_ingest_snr_estimate(signal) -> "float | None":
 
     Returns None when no estimate is possible (callers then keep i8)."""
     try:
-        x = np.asarray(signal, np.float32)
+        x = np.asarray(signal)
+        if x.size > 4_000_000:
+            # Statistics, not exactness: an 8x stride keeps >3.5M
+            # samples on a 10-minute pass and skips a ~115 MB f32 copy
+            # in the loader thread (spikes rarer than the stride are
+            # below the gate's resolution anyway).
+            x = x[::8]
+        x = np.asarray(x, np.float32)
     except Exception:  # noqa: BLE001 — estimation is best-effort
         return None
     if x.size == 0:

@@ -75,7 +75,7 @@ class _Stats:
         self.reset()
 
     def reset(self) -> None:
-        with getattr(self, "lock", threading.Lock()):
+        with self.lock:
             self.events: deque = deque(maxlen=256)  # (t_end, bytes, dt, kind)
             self.opening: list = []  # first few upload chunk rates of the epoch
             self.up_bytes = 0

@@ -42,6 +42,24 @@ else:
         pass
 
 
+def synth_i16(n_rows, sample_rate, noise_db=None, seed=0, **kwargs):
+    """(i16 signal, pattern): a synthesized recording quantized like a
+    16-bit WAV capture (full-scale round-clip) — the shared idiom of
+    the e2e/serving tests (import via ``from conftest import synth_i16``)."""
+    import numpy as np
+
+    from noaa_apt_tpu.synth import synth_recording
+
+    sig, pattern = synth_recording(
+        n_rows=n_rows, sample_rate=sample_rate, noise_db=noise_db,
+        seed=seed, **kwargs,
+    )
+    q = np.clip(
+        np.round(sig / np.abs(sig).max() * 32767), -32768, 32767
+    ).astype(np.int16)
+    return q, pattern
+
+
 def pytest_collection_modifyitems(config, items):
     """In the default CPU suite, tpu_conformance tests self-skip (their
     assertions are only meaningful on hardware); in TPU mode, everything

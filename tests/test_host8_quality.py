@@ -12,16 +12,11 @@ failure (`Decoder.prepare_work`'s crest-factor estimate).
 import numpy as np
 import pytest
 
+from conftest import synth_i16
+
 from noaa_apt_tpu.core.frequency import Rate
 from noaa_apt_tpu.core.profiles import STANDARD
 from noaa_apt_tpu.graph.decode import Decoder, _i8_ingest_snr_estimate
-from noaa_apt_tpu.synth import synth_recording
-
-
-def _as_i16(sig: np.ndarray) -> np.ndarray:
-    return np.clip(
-        np.round(sig / np.abs(sig).max() * 32767), -32768, 32767
-    ).astype(np.int16)
 
 
 def _psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -36,10 +31,7 @@ def test_host8_matches_host16_across_snr(noise_db, contrast_kind):
     vs host16, identical sync positions, and (telemetry) identical
     wedge-calibrated rendering decisions."""
     n_rows = 208 if contrast_kind == "telemetry" else 64
-    sig, _ = synth_recording(
-        n_rows=n_rows, sample_rate=11025, noise_db=noise_db, seed=7
-    )
-    sig16 = _as_i16(sig)
+    sig16, _ = synth_i16(n_rows, 11025, noise_db=noise_db, seed=7)
     rate = Rate(11025)
 
     dec16 = Decoder(STANDARD, ingest="host16")
@@ -75,8 +67,7 @@ def test_host8_telemetry_wedge_classification_stable():
     classification and wedge levels agree with the exact pipeline."""
     from noaa_apt_tpu.post.telemetry import telemetry_from_stats
 
-    sig, _ = synth_recording(n_rows=208, sample_rate=11025, noise_db=14.0, seed=3)
-    sig16 = _as_i16(sig)
+    sig16, _ = synth_i16(208, 11025, noise_db=14.0, seed=3)
     rate = Rate(11025)
     tels = {}
     for ingest in ("host16", "host8"):
@@ -112,8 +103,8 @@ def test_snr_estimate_spiky_collapses():
 def test_host8_falls_back_to_i16_on_spiky_pass():
     """A pass whose crest factor predicts a gate failure silently ships
     an i16 payload; its output is then exactly the host16 output."""
-    sig, _ = synth_recording(n_rows=64, sample_rate=11025, noise_db=30.0, seed=1)
-    sig16 = (_as_i16(sig) / 16.0).astype(np.int16)  # quiet signal...
+    sig, _ = synth_i16(64, 11025, noise_db=30.0, seed=1)
+    sig16 = (sig / 16.0).astype(np.int16)  # quiet signal...
     sig16[::40011] = 32600  # ...with rare full-scale interference spikes
     rate = Rate(11025)
 
@@ -140,8 +131,7 @@ def test_fleet_isolates_mixed_dtype_groups(tmp_path):
 
     paths = []
     for i in range(4):
-        sig, _ = synth_recording(n_rows=40, sample_rate=11025, noise_db=25.0, seed=i)
-        sig16 = _as_i16(sig)
+        sig16, _ = synth_i16(40, 11025, noise_db=25.0, seed=i)
         if i == 2:  # make one pass spiky-quiet: triggers the fallback
             sig16 = (sig16 / 16.0).astype(np.int16)
             sig16[::30011] = 32600

@@ -120,18 +120,16 @@ def test_fleet_degrades_proportionally_under_throttle(tmp_path, monkeypatch, ing
     The throttle injects sleep(nbytes / BW) per upload chunk — an ideal
     BW-limited link — and compares a fast link against one 3x slower.
     """
+    from conftest import synth_i16
+
     from noaa_apt_tpu.io import wav
     from noaa_apt_tpu.io.wav import WavSpec
     from noaa_apt_tpu.serve import decode_fleet
-    from noaa_apt_tpu.synth import synth_recording
 
     monkeypatch.setenv("NOAA_APT_LINK_CHUNK_MB", "0.05")
     paths = []
     for i in range(4):
-        sig, _ = synth_recording(n_rows=40, sample_rate=11025, noise_db=18.0, seed=i)
-        sig16 = np.clip(
-            np.round(sig / np.abs(sig).max() * 32767), -32768, 32767
-        ).astype(np.int16)
+        sig16, _ = synth_i16(40, 11025, noise_db=18.0, seed=i)
         p = tmp_path / f"p{i}.wav"
         wav.write_wav(p, sig16, WavSpec(1, 11025, 16, "int"))
         paths.append(p)

@@ -178,18 +178,14 @@ def test_native_encoder_incompressible_signal():
 
 
 def _wav_fleet(tmp_path, n=3, n_rows=40, noise_db=18.0):
+    from conftest import synth_i16
+
     from noaa_apt_tpu.io import wav
     from noaa_apt_tpu.io.wav import WavSpec
-    from noaa_apt_tpu.synth import synth_recording
 
     paths = []
     for i in range(n):
-        sig, _ = synth_recording(
-            n_rows=n_rows, sample_rate=11025, noise_db=noise_db, seed=i
-        )
-        sig16 = np.clip(
-            np.round(sig / np.abs(sig).max() * 32767), -32768, 32767
-        ).astype(np.int16)
+        sig16, _ = synth_i16(n_rows, 11025, noise_db=noise_db, seed=i)
         p = tmp_path / f"p{i}.wav"
         wav.write_wav(p, sig16, WavSpec(1, 11025, 16, "int"))
         paths.append(p)
@@ -202,16 +198,14 @@ def test_host16c_render_byte_equals_host16(tmp_path):
     signal), single-pass fused path."""
     from noaa_apt_tpu.core.frequency import Rate
     from noaa_apt_tpu.core.profiles import STANDARD
+    from conftest import synth_i16
+
     from noaa_apt_tpu.graph.decode import Decoder, PackedWorkPayload
-    from noaa_apt_tpu.synth import synth_recording
 
     # noise_db=30: a good real-world capture; the codec packs at
     # w_lo ~12.  (At 15-16 dB the sealed ratio sits at the 0.97
     # decline threshold and prepare_work correctly ships plain i16.)
-    sig, _ = synth_recording(n_rows=48, sample_rate=11025, noise_db=30.0, seed=5)
-    sig16 = np.clip(
-        np.round(sig / np.abs(sig).max() * 32767), -32768, 32767
-    ).astype(np.int16)
+    sig16, _ = synth_i16(48, 11025, noise_db=30.0, seed=5)
     rate = Rate(11025)
     dec16 = Decoder(STANDARD, ingest="host16")
     decc = Decoder(STANDARD, ingest="host16c")
@@ -269,13 +263,11 @@ def test_host16c_telemetry_render_byte_equals_host16():
     fetches) through the packed payload: byte-equal to host16."""
     from noaa_apt_tpu.core.frequency import Rate
     from noaa_apt_tpu.core.profiles import STANDARD
-    from noaa_apt_tpu.graph.decode import Decoder, PackedWorkPayload
-    from noaa_apt_tpu.synth import synth_recording
+    from conftest import synth_i16
 
-    sig, _ = synth_recording(n_rows=208, sample_rate=11025, noise_db=30.0, seed=2)
-    sig16 = np.clip(
-        np.round(sig / np.abs(sig).max() * 32767), -32768, 32767
-    ).astype(np.int16)
+    from noaa_apt_tpu.graph.decode import Decoder, PackedWorkPayload
+
+    sig16, _ = synth_i16(208, 11025, noise_db=30.0, seed=2)
     rate = Rate(11025)
     dec16 = Decoder(STANDARD, ingest="host16")
     decc = Decoder(STANDARD, ingest="host16c")
